@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{PolyHash, Utf8}
+
+/** Exact-substring duplicate removal, Spark-first.
+  *
+  * Semantics (the reference contract, cpp_engine_dedup.h:215-302):
+  * a byte position p=(doc k, offset o) is REMOVABLE iff the minLen-byte
+  * window at p fits inside the doc and an identical window exists at some
+  * position q strictly before p in (k, o) order; remove ranges are the
+  * interval-union of [o, o+minLen) over removable positions, coalescing
+  * overlap OR touch (h:287-291); writeback clips ranges to UTF-8 char
+  * boundaries and cuts (mode=remove) or annotates (mode=annotate)
+  * (write_back_to_jsonl_sharded.py:75-101).
+  *
+  * The reference builds a per-shard suffix array and scans adjacent ranks
+  * for shared minLen prefixes. A maximal same-prefix SA run IS the equality
+  * class of positions with identical minLen-byte windows, so we skip the SA
+  * entirely: key every position by a 122-bit rolling hash of its window
+  * (O(1)/byte, PolyHash), find each group's minimum (k,pos) with a salted
+  * two-phase aggregation (skew-safe: a viral boilerplate window never lands
+  * in a single reducer), and join back to flag non-minimum members.
+  * Duplicate groups are optionally re-verified against the actual window
+  * bytes (`verifyBytes`) so a hash collision can never remove a
+  * non-duplicate byte -- this re-extraction touches only positions inside
+  * duplicate groups, not the whole corpus.
+  *
+  * Scale notes (100 TB): window rows are 4 longs (~28 B/position) --
+  * comparable to the reference's 8N suffix-array footprint -- and flow
+  * through a single hash-partitioned shuffle; no stage ever materializes
+  * window bytes except for the (small) duplicate-group verification join,
+  * which AQE skew-join splits if one window is viral.
+  *
+  * Input contract: df(k: Long, text: String) where ascending `k` defines
+  * the stable global first-occurrence order (the reference's
+  * (shard, global_ptr) order, h:717-724).
+  */
+object SubstringDedup {
+
+  case class Config(
+      minLen: Int,
+      verifyBytes: Boolean = true,
+      saltBuckets: Int = 64)
+
+  /** One row per in-doc window position: (h1, h2, k, pos).
+    * pos is a 0-based byte offset; docs shorter than minLen emit nothing
+    * (reference bounds predicate h:232-233).
+    */
+  def windows(docs: DataFrame, minLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("k").cast("long"), encode(col("text"), "UTF-8").as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (k, bytes) =>
+          val h1 = PolyHash.windowHashes(bytes, minLen, PolyHash.B1)
+          val h2 = PolyHash.windowHashes(bytes, minLen, PolyHash.B2)
+          Iterator.range(0, h1.length).map(i => (h1(i), h2(i), k, i.toLong))
+        }
+      }
+      .toDF("h1", "h2", "k", "pos")
+  }
+
+  /** Removable positions: every (k,pos) whose window equals the window of a
+    * strictly smaller (k,pos). Output: (k, pos).
+    */
+  def removablePositions(docs: DataFrame, cfg: Config): DataFrame = {
+    val win = windows(docs, cfg.minLen)
+
+    // Two-phase salted min: partial min per (h1,h2,salt), then the tiny
+    // final agg per (h1,h2). Groups with a single member are dropped ASAP
+    // so the join-back's right side holds only *duplicated* windows.
+    val salted = win.withColumn(
+      "salt", pmod(hash(col("k"), col("pos")), lit(cfg.saltBuckets)))
+    val partial = salted
+      .groupBy("h1", "h2", "salt")
+      .agg(min(struct(col("k"), col("pos"))).as("m"), count(lit(1)).as("c"))
+    val keepers = partial
+      .groupBy("h1", "h2")
+      .agg(min(col("m")).as("keeper"), sum(col("c")).as("c"))
+      .where(col("c") > 1)
+      .select("h1", "h2", "keeper")
+
+    val candidates = win
+      .join(keepers, Seq("h1", "h2"))
+      .where(struct(col("k"), col("pos")) =!= col("keeper"))
+      .select(col("k"), col("pos"),
+        col("keeper.k").as("keep_k"), col("keeper.pos").as("keep_pos"))
+
+    if (!cfg.verifyBytes) candidates.select("k", "pos")
+    else {
+      // Re-extract the actual window bytes for both sides of each candidate
+      // pair and demand byte equality -- collision-proof, and linear in the
+      // number of *duplicate* positions only.
+      val bytesDf = docs.select(
+        col("k").cast("long").as("vk"),
+        encode(col("text"), "UTF-8").as("vb"))
+      candidates
+        .join(bytesDf, col("k") === col("vk"))
+        .withColumn("w_self", expr(s"substring(vb, pos + 1, ${cfg.minLen})"))
+        .drop("vk", "vb")
+        .join(bytesDf, col("keep_k") === col("vk"))
+        .withColumn("w_keep", expr(s"substring(vb, keep_pos + 1, ${cfg.minLen})"))
+        .where(col("w_self") === col("w_keep"))
+        .select("k", "pos")
+    }
+  }
+
+  /** Coalesce sorted removable positions into [s, e) ranges per doc.
+    * Gaps-and-islands: all windows share length minLen, so ends are
+    * monotone in pos and "overlap or touch" is simply
+    * pos <= prev_pos + minLen (reference h:287-291).
+    */
+  def coalesceRanges(removable: DataFrame, minLen: Int): DataFrame = {
+    val byDoc = Window.partitionBy("k").orderBy("pos")
+    removable
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") > col("prev") + minLen, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy("k", "island")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + minLen).as("e"))
+      .select(col("k"), col("s").cast("long"), col("e").cast("long"))
+  }
+
+  /** Full pipeline: docs(k, text) -> remove_ranges(k, s, e), unclipped
+    * byte offsets (the reference's remove_ranges file, h:294-297).
+    */
+  def removeRanges(docs: DataFrame, cfg: Config): DataFrame =
+    coalesceRanges(removablePositions(docs, cfg), cfg.minLen)
+
+  /** Annotate mode: original rows + sa_remove_ranges (UTF-8-clipped),
+    * sorted by range start; docs without duplicates get an empty array.
+    */
+  def annotate(docs: DataFrame, cfg: Config): DataFrame = {
+    val ranges = removeRanges(docs, cfg)
+      .groupBy("k")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("raw"))
+    docs
+      .withColumn("k", col("k").cast("long"))
+      .join(ranges, Seq("k"), "left")
+      .withColumn("raw",
+        coalesce(col("raw"), lit(Array.empty[Int]).cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("sa_remove_ranges", Utf8.clip(encode(col("text"), "UTF-8"), col("raw")))
+      .drop("raw")
+  }
+
+  /** Remove mode: duplicated substrings cut out of the text. */
+  def remove(docs: DataFrame, cfg: Config): DataFrame =
+    annotate(docs, cfg)
+      .withColumn("text_deduped",
+        Utf8.removeMode(encode(col("text"), "UTF-8"), col("sa_remove_ranges")))
+
+  /** Diagnostics (reference find_dup_ptrs, h:801-837): every member of a
+    * duplicate group with dropped flag; the kept (first) one has
+    * dropped=false.
+    */
+  def dupPtrs(docs: DataFrame, cfg: Config): DataFrame = {
+    val win = windows(docs, cfg.minLen)
+    val byWindow = Window.partitionBy("h1", "h2").orderBy("k", "pos")
+    win
+      .withColumn("rn", row_number().over(byWindow))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("h1", "h2")))
+      .where(col("c") > 1)
+      .select(col("k"), col("pos"), (col("rn") > 1).as("dropped"))
+  }
+}
