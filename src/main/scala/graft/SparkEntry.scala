@@ -6,23 +6,32 @@ import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Each `queries` entry is one operator from SURVEY.md §2 exercised on the
-  * driver's parquet tables; `oracleSql` holds the equivalent ANSI SQL the
-  * driver runs in DuckDB on the same tables. Column names are aligned
-  * between the two (the driver's compare sorts columns by name).
+  * Each `queries` entry exercises one operator family from SURVEY.md §2 on
+  * the driver's parquet tables; `oracleSql` holds the equivalent ANSI SQL
+  * the driver runs in DuckDB on the same tables. Column names and types
+  * are aligned between the two (the driver's compare sorts columns by
+  * name); floats are rounded on both sides.
+  *
+  * The driver corpus has no duplicate texts, so the dedup queries plant
+  * duplicates with deterministic derivations (self-unions / suffix
+  * concats) expressed identically in Scala and SQL.
   */
 object SparkEntry {
 
-  /** documents + planted duplicates: every doc_id % 7 == 0 doc reappears
-    * under doc_id + 1000000. Deterministic and reproducible in SQL, so the
-    * DuckDB oracle sees the identical input. Gives the dedup operators
-    * non-empty output (the driver corpus itself has no duplicate texts).
-    */
-  private def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet")
+  val MinLen = 32
+  val ShingleN = 5
+
+  // ---- shared deterministic input constructions ----
+
+  private def baseDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long").as("k"), col("text"))
-    d.unionAll(
-      d.where(col("k") % 7 === 0).select((col("k") + 1000000L).as("k"), col("text")))
+
+  /** every doc_id % 7 == 0 doc reappears verbatim under doc_id + 1000000 */
+  private def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = baseDocs(spark, dir)
+    d.unionAll(d.where(col("k") % 7 === 0)
+      .select((col("k") + 1000000L).as("k"), col("text")))
   }
 
   private val docsWithDupsSql =
@@ -30,37 +39,234 @@ object SparkEntry {
       |UNION ALL
       |SELECT CAST(doc_id + 1000000 AS BIGINT) AS k, text FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
-  val MinLen = 32
-
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame = {
-    val docs = docsWithDups(spark, "/root/testdata/sf0.001")
-    SubstringDedup.removeRanges(docs, SubstringDedup.Config(MinLen))
+  /** dups + near-dups: doc_id % 7 == 1 docs reappear with their own first
+    * 20 chars appended (high-but-not-1.0 Jaccard).
+    */
+  private def docsWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = baseDocs(spark, dir)
+    docsWithDups(spark, dir).unionAll(
+      d.where(col("k") % 7 === 1)
+        .select((col("k") + 2000000L).as("k"),
+          concat(col("text"), lit(" "), substring(col("text"), 1, 20)).as("text")))
   }
 
-  /** One per implemented operator from SURVEY.md §2. */
+  private val docsWithNearDupsSql =
+    s"""$docsWithDupsSql
+       |UNION ALL
+       |SELECT CAST(doc_id + 2000000 AS BIGINT) AS k, text || ' ' || substr(text, 1, 20) AS text
+       |FROM documents WHERE doc_id % 7 = 1""".stripMargin
+
+  /** docs + split copies: doc_id % 7 == 2 docs reappear under
+    * doc_id + 3000000 with a unique marker spliced in at char 50 -- the
+    * copy carries TWO separated duplicate runs, so coalescing produces two
+    * ranges per copy and a kept-in-the-middle gap between them.
+    */
+  private def docsWithSplitDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = baseDocs(spark, dir)
+    d.unionAll(
+      d.where(col("k") % 7 === 2)
+        .select((col("k") + 3000000L).as("k"),
+          concat(substring(col("text"), 1, 50), lit(" zq"),
+            col("k").cast("string"), lit(" "), expr("substring(text, 51)")).as("text")))
+  }
+
+  private val docsWithSplitDupsSql =
+    """SELECT CAST(doc_id AS BIGINT) AS k, text FROM documents
+      |UNION ALL
+      |SELECT CAST(doc_id + 3000000 AS BIGINT) AS k,
+      |       substr(text, 1, 50) || ' zq' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 51) AS text
+      |FROM documents WHERE doc_id % 7 = 2""".stripMargin
+
+  /** 64-bit pseudo-phash: groups of 10 consecutive doc_ids share a base
+    * pattern and differ in <= 4 low bits -> guaranteed Hamming-near pairs.
+    */
+  private def phashDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("id"),
+        expr("((doc_id div 10) * 2654435761 % 4294967296) ^ (doc_id % 10)").as("bits"))
+
+  private val phashDocsSql =
+    """SELECT CAST(doc_id AS BIGINT) AS id,
+      |       xor((doc_id // 10) * 2654435761 % 4294967296, doc_id % 10) AS bits
+      |FROM documents""".stripMargin
+
+  /** chain edges: a -> a+1 for doc_id % 10 in {0,1,2} -> components of
+    * size 4 ({10m, 10m+1, 10m+2, 10m+3}) plus singletons.
+    */
+  private def chainEdges(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 10 < 3)
+      .select(col("doc_id").cast("long").as("a"), (col("doc_id") + 1).cast("long").as("b"))
+
+  // ---- substring-dedup oracle SQL (naive transcription) ----
+
+  private def removeRangesOracle(docsSql: String): String =
+    s"""WITH docs AS ($docsSql),
+       |pos AS (
+       |  SELECT k, text, unnest(generate_series(0, length(text) - $MinLen)) AS pos
+       |  FROM docs WHERE length(text) >= $MinLen
+       |),
+       |ranked AS (
+       |  SELECT k, pos,
+       |         row_number() OVER (PARTITION BY substr(text, pos + 1, $MinLen) ORDER BY k, pos) AS rn
+       |  FROM pos
+       |),
+       |removable AS (SELECT k, pos FROM ranked WHERE rn > 1),
+       |flagged AS (
+       |  SELECT k, pos,
+       |         CASE WHEN lag(pos) OVER (PARTITION BY k ORDER BY pos) IS NULL
+       |                OR pos > lag(pos) OVER (PARTITION BY k ORDER BY pos) + $MinLen
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM removable
+       |),
+       |isl AS (
+       |  SELECT k, pos, sum(brk) OVER (PARTITION BY k ORDER BY pos) AS island FROM flagged
+       |)
+       |SELECT k, CAST(min(pos) AS BIGINT) AS s, CAST(max(pos) + $MinLen AS BIGINT) AS e
+       |FROM isl GROUP BY k, island""".stripMargin
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame =
+    SubstringDedup.removeRanges(
+      docsWithDups(spark, "/root/testdata/sf0.001"), SubstringDedup.Config(MinLen))
+
+  // ---- queries ----
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1+A4: substring dedup -> coalesced remove ranges (the flagship).
-    "a1_remove_ranges" -> ((s, dir) => {
-      SubstringDedup.removeRanges(docsWithDups(s, dir), SubstringDedup.Config(MinLen))
-        .select(col("k"), col("s"), col("e"))
+
+    // A1 + A4 + E1: hash-agg substring dedup -> coalesced remove ranges.
+    "a1_remove_ranges" -> ((s, dir) =>
+      SubstringDedup.removeRanges(docsWithDups(s, dir), SubstringDedup.Config(MinLen))),
+
+    // A2 + F1: sort-scan substring dedup (differential plan, same oracle).
+    "a2_remove_ranges_sortscan" -> ((s, dir) =>
+      SubstringDedup.removeRangesSortScan(docsWithDups(s, dir), MinLen)),
+
+    // A6: dup-ptr enumeration with dropped flags.
+    "a6_dup_ptrs" -> ((s, dir) =>
+      SubstringDedup.dupPtrs(docsWithDups(s, dir), SubstringDedup.Config(MinLen))),
+
+    // E1 + C6: exact document dedup, first-occurrence keep.
+    "e1_exact_dedup" -> ((s, dir) =>
+      ExactDedup.flag(docsWithDups(s, dir), "text")),
+
+    // E2: unigram counts.
+    "e2_unigram_counts" -> ((s, dir) =>
+      TextStats.unigramCounts(baseDocs(s, dir))),
+
+    // C15 + E5: per-doc stats.
+    "text_doc_stats" -> ((s, dir) =>
+      TextStats.docStats(baseDocs(s, dir))),
+
+    // quality scoring over doc stats.
+    "text_quality" -> ((s, dir) =>
+      TextStats.qualityScore(baseDocs(s, dir)).select("k", "quality")),
+
+    // language-ID heuristic (dictionary scores + argmax).
+    "text_lang_id" -> ((s, dir) =>
+      TextStats.langId(baseDocs(s, dir))),
+
+    // min-shingle document fingerprint.
+    "text_fingerprint" -> ((s, dir) =>
+      TextStats.minShingleFingerprint(baseDocs(s, dir), ShingleN)),
+
+    // exact n-gram Jaccard near-dup pairs (inverted index, no LSH).
+    "jaccard_pairs_exact" -> ((s, dir) =>
+      NgramJaccard.pairs(docsWithNearDups(s, dir), ShingleN, 0.8)),
+
+    // D8: Hamming-radius pairs via pigeonhole banding.
+    "d8_hamming_pairs" -> ((s, dir) =>
+      Hamming.pairs(phashDocs(s, dir), 4)),
+
+    // D9: connected components (large-star/small-star).
+    "d9_connected_components" -> ((s, dir) =>
+      ConnectedComponents.assign(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id").as("id")),
+        chainEdges(s, dir))),
+
+    // B4: running byte offsets per shard (source).
+    "b4_running_offsets" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("k")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("k"), col("source"), length(col("text")).as("len"))
+        .withColumn("off", coalesce(sum(col("len")).over(w), lit(0L)).cast("long"))
+        .select("k", "source", "off")
     }),
-    // Baseline sanity: TPC-H Q1-ish aggregation.
-    "q1_agg" -> ((s, dir) => {
+
+    // D1: point-in-interval (ptr -> doc) via bucketed range join.
+    "d1_range_join" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("k")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("k"), col("source"), length(col("text")).cast("long").as("len"))
+        .withColumn("s", coalesce(sum(col("len")).over(w), lit(0L)).cast("long"))
+        .withColumn("e", (col("s") + col("len")))
+        .select("k", "source", "s", "e")
+      val totals = docs.groupBy("source").agg(max(col("e")).as("total"))
+      val points = totals.select(col("source"),
+        explode(sequence(lit(0L), col("total") - 1, lit(97L))).as("p"))
+      RangeJoin.pointInInterval(points, docs, 256L, Seq("source"))
+        .select(col("source"), col("p"), col("k"))
+    }),
+
+    // E4 + C15: kept-in-the-middle lengths histogram (log2 buckets).
+    "e4_kept_middle_hist" -> ((s, dir) => {
+      val ranges = SubstringDedup.removeRanges(docsWithSplitDups(s, dir), SubstringDedup.Config(MinLen))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("s")
+      ranges
+        .withColumn("next_s", lead(col("s"), 1).over(w))
+        .where(col("next_s").isNotNull)
+        .select((col("next_s") - col("e")).as("len"))
+        .where(col("len") > 0)
+        .select((length(bin(col("len"))) - 1).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ANN: brute-force cosine top-10 for the first 5 vectors.
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      AnnCosine.bruteTopK(
+        emb.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")), 10)
+        .select("qid", "id", "rn")
+    }),
+
+    // windowed event aggregation (shared batch/streaming transform).
+    "stream_window_counts" -> ((s, dir) =>
+      graft.streaming.EventStream.windowCounts(s.read.parquet(s"$dir/events.parquet"))),
+
+    // broadcast-join + agg sanity (revenue per nation).
+    "q3_join_agg" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+    }),
+
+    // TPC-H Q1-ish aggregation baseline.
+    "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).cast("double").as("sum_qty"),
           sum(col("l_extendedprice")).cast("double").as("sum_price"),
-          count(lit(1)).as("n"))
-    }),
+          count(lit(1)).as("n"))),
   )
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
-    */
+  // ---- DuckDB oracles ----
+
   def oracleSql: Map[String, String] = Map(
-    "a1_remove_ranges" ->
+
+    "a1_remove_ranges" -> removeRangesOracle(docsWithDupsSql),
+    "a2_remove_ranges_sortscan" -> removeRangesOracle(docsWithDupsSql),
+
+    "a6_dup_ptrs" ->
       s"""WITH docs AS ($docsWithDupsSql),
          |pos AS (
          |  SELECT k, text, unnest(generate_series(0, length(text) - $MinLen)) AS pos
@@ -68,22 +274,176 @@ object SparkEntry {
          |),
          |ranked AS (
          |  SELECT k, pos,
-         |         row_number() OVER (PARTITION BY substr(text, pos + 1, $MinLen) ORDER BY k, pos) AS rn
+         |         row_number() OVER (PARTITION BY substr(text, pos + 1, $MinLen) ORDER BY k, pos) AS rn,
+         |         count(*) OVER (PARTITION BY substr(text, pos + 1, $MinLen)) AS c
          |  FROM pos
-         |),
-         |removable AS (SELECT k, pos FROM ranked WHERE rn > 1),
-         |flagged AS (
-         |  SELECT k, pos,
-         |         CASE WHEN lag(pos) OVER (PARTITION BY k ORDER BY pos) IS NULL
-         |                OR pos > lag(pos) OVER (PARTITION BY k ORDER BY pos) + $MinLen
-         |              THEN 1 ELSE 0 END AS brk
-         |  FROM removable
-         |),
-         |isl AS (
-         |  SELECT k, pos, sum(brk) OVER (PARTITION BY k ORDER BY pos) AS island FROM flagged
          |)
-         |SELECT k, CAST(min(pos) AS BIGINT) AS s, CAST(max(pos) + $MinLen AS BIGINT) AS e
-         |FROM isl GROUP BY k, island""".stripMargin,
+         |SELECT k, CAST(pos AS BIGINT) AS pos, rn > 1 AS dropped FROM ranked WHERE c > 1""".stripMargin,
+
+    "e1_exact_dedup" ->
+      s"""WITH docs AS ($docsWithDupsSql)
+         |SELECT k, min(k) OVER (PARTITION BY text) AS keeper,
+         |       k <> min(k) OVER (PARTITION BY text) AS is_dup
+         |FROM docs""".stripMargin,
+
+    "e2_unigram_counts" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |) WHERE token <> '' GROUP BY token""".stripMargin,
+
+    "text_doc_stats" ->
+      """WITH toks AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS k, text,
+        |         list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents
+        |)
+        |SELECT k,
+        |  CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / greatest(len(ts), 1), 6) AS mean_tok_len,
+        |  round(CAST(len(list_filter(ts, t -> t IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+        |        / greatest(len(ts), 1), 6) AS stopword_ratio
+        |FROM toks""".stripMargin,
+
+    "text_quality" ->
+      """WITH toks AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS k,
+        |         list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents
+        |)
+        |SELECT k,
+        |  round(least(CAST(len(ts) AS DOUBLE) / 64.0, 1.0) * 0.4
+        |      + CAST(len(list_distinct(ts)) AS DOUBLE) / greatest(len(ts), 1) * 0.4
+        |      + least(round(CAST(len(list_filter(ts, t -> t IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+        |              / greatest(len(ts), 1), 6) * 4.0, 1.0) * 0.2, 6) AS quality
+        |FROM toks""".stripMargin,
+
+    "text_lang_id" ->
+      """WITH toks AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS k,
+        |         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        |  FROM documents
+        |),
+        |scored AS (
+        |  SELECT k,
+        |    CAST(len(list_filter(ts, t -> t IN ('the','and','of','to','a','in'))) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(ts, t -> t IN ('el','la','de','que','y','los'))) AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(ts, t -> t IN ('der','die','und','das','ist','von'))) AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(ts, t -> t IN ('le','la','et','les','des','une'))) AS BIGINT) AS score_fr
+        |  FROM toks
+        |)
+        |SELECT k,
+        |  CASE greatest(score_en, score_es, score_de, score_fr)
+        |    WHEN 0 THEN 'und'
+        |    WHEN score_en THEN 'en'
+        |    WHEN score_es THEN 'es'
+        |    WHEN score_de THEN 'de'
+        |    ELSE 'fr' END AS pred_lang,
+        |  score_en, score_es, score_de, score_fr
+        |FROM scored""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT k, min(substr(text, i, $ShingleN)) AS fp FROM (
+         |  SELECT CAST(doc_id AS BIGINT) AS k, text,
+         |         unnest(generate_series(1, length(text) - ${ShingleN - 1})) AS i
+         |  FROM documents WHERE length(text) >= $ShingleN
+         |) GROUP BY k
+         |UNION ALL
+         |SELECT CAST(doc_id AS BIGINT) AS k, text AS fp
+         |FROM documents WHERE length(text) < $ShingleN""".stripMargin,
+
+    "jaccard_pairs_exact" ->
+      s"""WITH docs AS ($docsWithNearDupsSql),
+         |sh AS (
+         |  SELECT DISTINCT k, substr(text, i, $ShingleN) AS g FROM (
+         |    SELECT k, text, unnest(generate_series(1, length(text) - ${ShingleN - 1})) AS i
+         |    FROM docs WHERE length(text) >= $ShingleN
+         |  )
+         |),
+         |sizes AS (SELECT k, count(*) AS sz FROM sh GROUP BY k),
+         |inter AS (
+         |  SELECT x.k AS a, y.k AS b, count(*) AS i
+         |  FROM sh x JOIN sh y ON x.g = y.g AND x.k < y.k
+         |  GROUP BY x.k, y.k
+         |)
+         |SELECT a, b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jacc
+         |FROM inter JOIN sizes sa ON inter.a = sa.k JOIN sizes sb ON inter.b = sb.k
+         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8""".stripMargin,
+
+    "d8_hamming_pairs" ->
+      s"""WITH ph AS ($phashDocsSql)
+         |SELECT x.id AS a, y.id AS b,
+         |       CAST(bit_count(xor(x.bits, y.bits)) AS INT) AS dist
+         |FROM ph x JOIN ph y ON x.id < y.id
+         |WHERE bit_count(xor(x.bits, y.bits)) <= 4""".stripMargin,
+
+    "d9_connected_components" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id + 1 AS BIGINT) AS b
+        |  FROM documents WHERE doc_id % 10 < 3
+        |),
+        |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        |nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |walk AS (
+        |  SELECT id AS src, id AS reach FROM nodes
+        |  UNION
+        |  SELECT w.src, e.b FROM walk w JOIN sym e ON w.reach = e.a
+        |)
+        |SELECT src AS id, min(reach) AS comp FROM walk GROUP BY src""".stripMargin,
+
+    "b4_running_offsets" ->
+      """SELECT CAST(doc_id AS BIGINT) AS k, source,
+        |  CAST(coalesce(sum(length(text)) OVER (
+        |    PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |FROM documents""".stripMargin,
+
+    "d1_range_join" ->
+      """WITH docs AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS k, source,
+        |    CAST(coalesce(sum(length(text)) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s,
+        |    CAST(coalesce(sum(length(text)) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + length(text) AS BIGINT) AS e
+        |  FROM documents
+        |),
+        |totals AS (SELECT source, max(e) AS total FROM docs GROUP BY source),
+        |points AS (
+        |  SELECT source, unnest(generate_series(0, total - 1, 97)) AS p FROM totals
+        |)
+        |SELECT p.source, CAST(p.p AS BIGINT) AS p, d.k
+        |FROM points p JOIN docs d ON p.source = d.source AND p.p >= d.s AND p.p < d.e""".stripMargin,
+
+    "e4_kept_middle_hist" ->
+      s"""WITH ranges AS (${removeRangesOracle(docsWithSplitDupsSql)}),
+         |mids AS (
+         |  SELECT lead(s) OVER (PARTITION BY k ORDER BY s) - e AS len FROM ranges
+         |)
+         |SELECT CAST(length(bin(len)) - 1 AS BIGINT) AS bucket, count(*) AS cnt
+         |FROM mids WHERE len IS NOT NULL AND len > 0 GROUP BY 1""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+        |SELECT qid, id,
+        |       CAST(row_number() OVER (PARTITION BY qid
+        |         ORDER BY list_cosine_similarity(qv, cv) DESC, id) AS INT) AS rn
+        |FROM q JOIN c ON q.qid <> c.id
+        |QUALIFY rn <= 10""".stripMargin,
+
+    "stream_window_counts" ->
+      """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M') AS win_start,
+        |       event_type, count(*) AS n, round(sum(value), 6) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,

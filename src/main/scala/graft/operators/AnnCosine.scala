@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PolyHash
+
+/** Nearest-neighbor search over an embedding column (array<float>).
+  *
+  * Two paths:
+  *  - `bruteTopK`: exact cosine top-k of a (small, broadcast) query set
+  *    against the corpus. The corpus is streamed once per partition; only
+  *    (query, id, sim) triples survive, then a per-query top-k window.
+  *    This is the baseline/verifier.
+  *  - `lshTopK`: sign-random-projection (hyperplane) LSH -- each vector
+  *    gets `tables` bucket keys of `planeBits` sign bits from seeded
+  *    deterministic hyperplanes; candidates = bucket collisions in any
+  *    table; exact cosine re-rank on candidates only. The scale path: the
+  *    cross product never happens, just `tables` equi-joins.
+  *
+  * All dot products run in double precision over codegen'd
+  * higher-order-array functions (zip_with + aggregate) -- no UDF.
+  */
+object AnnCosine {
+
+  /** Cosine similarity column between two array<double> columns. */
+  private def cosine(a: String, b: String) = {
+    val dot = expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    val na = expr(s"sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))")
+    val nb = expr(s"sqrt(aggregate($b, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))")
+    dot / (na * nb)
+  }
+
+  private def asDouble(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn(vecCol, col(vecCol).cast("array<double>"))
+
+  /** queries(qid, vec) x corpus(id, vec) -> (qid, id, sim) exact top-k per
+    * query by cosine, excluding self (qid == id). Query side is broadcast.
+    */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = asDouble(queries.select(col("qid").cast("long"), col("vec").as("qv")), "qv")
+    val c = asDouble(corpus.select(col("id").cast("long"), col("vec").as("cv")), "cv")
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("id"))
+      .withColumn("sim", cosine("qv", "cv"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes: component j of
+    * plane p in table t = mix64-derived value in [-1, 1).
+    */
+  private def planeVal(table: Int, plane: Int, j: Int): Double = {
+    val h = PolyHash.mix64((table.toLong << 40) ^ (plane.toLong << 20) ^ j.toLong ^ 0x9e11L)
+    (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  /** (id, table, bucket): sign-bit bucket per table, computed in one
+    * mapPartitions pass, no shuffle.
+    */
+  def bucketTable(corpus: DataFrame, dim: Int, tables: Int, planeBits: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val planes = Array.tabulate(tables, planeBits, dim)((t, p, j) => planeVal(t, p, j))
+    corpus.select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        Iterator.range(0, tables).map { t =>
+          var bucket = 0L
+          var p = 0
+          while (p < planeBits) {
+            var dot = 0.0
+            var j = 0
+            val pl = planes(t)(p)
+            while (j < v.length && j < pl.length) { dot += v(j) * pl(j); j += 1 }
+            if (dot >= 0) bucket |= (1L << p)
+            p += 1
+          }
+          (id, t, bucket)
+        }
+      })
+      .toDF("id", "table", "bucket")
+  }
+
+  /** LSH-accelerated top-k: bucket-collision candidates, exact re-rank.
+    * Approximate -- tests measure recall vs bruteTopK.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              dim: Int, tables: Int = 8, planeBits: Int = 10): DataFrame = {
+    val cb = bucketTable(corpus.select(col("id"), col("vec")), dim, tables, planeBits)
+    val qb = bucketTable(queries.select(col("qid").as("id"), col("vec")), dim, tables, planeBits)
+      .withColumnRenamed("id", "qid")
+    val cand = qb.join(cb, Seq("table", "bucket"))
+      .where(col("qid") =!= col("id"))
+      .select("qid", "id").distinct()
+    val q = asDouble(queries.select(col("qid").cast("long"), col("vec").as("qv")), "qv")
+    val c = asDouble(corpus.select(col("id").cast("long"), col("vec").as("cv")), "cv")
+    cand
+      .join(broadcast(q), "qid")
+      .join(c, "id")
+      .withColumn("sim", cosine("qv", "cv"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rn"))
+  }
+}

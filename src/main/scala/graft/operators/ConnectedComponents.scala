@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Connected components by alternating large-star / small-star contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14): O(log n) rounds, each round two window-min + shuffle steps;
+  * per-round eager `localCheckpoint` truncates lineage so the plan doesn't
+  * grow across iterations.
+  *
+  * No per-node neighbor lists are ever materialized (no collect_set): the
+  * per-node minimum is a window MIN, so a dup cluster with millions of
+  * members streams through a sort instead of building a giant array row.
+  *
+  * Converged state: every node points directly at its component minimum,
+  * so cluster_id = min member id -- the deterministic labeling the
+  * dup-cluster contract requires (first-occurrence keep at cluster level).
+  */
+object ConnectedComponents {
+
+  private def canon(e: DataFrame): DataFrame =
+    e.where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .distinct()
+
+  /** large-star: per node u (over the symmetric neighborhood),
+    * m = min(N(u) + u); connect every neighbor v > u to m.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+      .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+    sym
+      .withColumn("m", least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
+      .where(col("v") > col("u") && col("v") =!= col("m"))
+      .select(col("v").as("hi"), col("m").as("lo"))
+      .distinct()
+  }
+
+  /** small-star: per node u over its SMALLER neighbors (edges are oriented
+    * hi > lo, so group by hi), m = min of those; connect u and every
+    * smaller neighbor to m.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val withM = e.withColumn("m", min(col("lo")).over(Window.partitionBy(col("hi"))))
+    val neighborEdges = withM.where(col("lo") =!= col("m"))
+      .select(col("lo").as("hi"), col("m").as("lo"))
+    val selfEdges = withM.select(col("hi"), col("m").as("lo")).distinct()
+    neighborEdges.unionAll(selfEdges).distinct()
+  }
+
+  private def signature(d: DataFrame): (Long, Long) = {
+    // bit_xor: order-independent, overflow-free under ANSI mode.
+    val r = d.agg(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L)).as("h")).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** edges(a: Long, b: Long) undirected (self-loops/dups tolerated) ->
+    * assignments(id, comp) for every node incident to an edge.
+    */
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    var cur = canon(edges).localCheckpoint(true)
+    var curSig = signature(cur)
+    var converged = cur.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == curSig
+      cur = next
+      curSig = nextSig
+      iter += 1
+    }
+    cur.select(col("hi").as("id"), col("lo").as("comp"))
+      .unionAll(cur.select(col("lo").as("id"), col("lo").as("comp")))
+      .distinct()
+  }
+
+  /** Full assignment over a node universe: nodes(id) + edges(a,b) ->
+    * (id, comp); isolated nodes map to themselves.
+    */
+  def assign(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val assigned = run(edges)
+    nodes.select(col("id").cast("long"))
+      .join(assigned, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+}

@@ -110,6 +110,41 @@ object SubstringDedup {
     }
   }
 
+  /** A2 transcription: sort-based removable positions. Range-partition by
+    * window hash (equal keys land in one partition -- the reference's
+    * run-aligned rank-space split, h:324-338, for free from
+    * RangePartitioner), sort within partitions, then an adjacent-run scan
+    * identical to the reference loop (h:417-472): the first row of each
+    * equal-hash run is kept, the rest are removable.
+    *
+    * Differential sibling of `removablePositions` -- same output, shuffle
+    * plan trades the hash aggregate for a range exchange + sort. Preferable
+    * when the agg hash table would spill (very high duplicate density).
+    */
+  def removablePositionsSortScan(docs: DataFrame, minLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    windows(docs, minLen)
+      .repartitionByRange(col("h1"), col("h2"))
+      .sortWithinPartitions("h1", "h2", "k", "pos")
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var ph1 = 0L; var ph2 = 0L; var first = true
+        it.flatMap { case (h1, h2, k, pos) =>
+          val isNewRun = first || h1 != ph1 || h2 != ph2
+          ph1 = h1; ph2 = h2; first = false
+          if (isNewRun) None else Some((k, pos))
+        }
+      }
+      .toDF("k", "pos")
+  }
+
+  /** Sort-scan variant of the full pipeline (same contract as
+    * removeRanges; hash-equality trusted, i.e. verifyBytes=false path).
+    */
+  def removeRangesSortScan(docs: DataFrame, minLen: Int): DataFrame =
+    coalesceRanges(removablePositionsSortScan(docs, minLen), minLen)
+
   /** Coalesce sorted removable positions into [s, e) ranges per doc.
     * Gaps-and-islands: all windows share length minLen, so ends are
     * monotone in pos and "overlap or touch" is simply
