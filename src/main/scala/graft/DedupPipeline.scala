@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.StableIds
+import graft.operators._
+import graft.plans.Stage
+
+/** End-to-end near-duplicate detection + clustering over the `images`
+  * table (image_id, bytes, w, h, fmt, caption, phash) -- the north_star
+  * pipeline:
+  *
+  *   1. stable ids      image_id -> dense long k (deterministic order)
+  *   2. exact dups      sha2(bytes||caption) first-occurrence groups
+  *   3. substring dedup caption remove_ranges (annotate mode)
+  *   4. MinHash + LSH   caption shingles -> band join -> exact-Jaccard
+  *                      verified near-dup edges
+  *   5. pHash Hamming   pigeonhole band join on the 64 phash bits
+  *   6. union edges -> connected components (large-star/small-star)
+  *                   -> clusters(image_id, cluster_id), cluster_id = the
+  *                      lexicographically smallest member (first
+  *                      occurrence keep at cluster level)
+  *
+  * Every stage is snapshot-checkpointed with metrics (Stage); passing
+  * stageDir=None runs it unmaterialized (pure lazy plan) for benchmarks.
+  */
+object DedupPipeline {
+
+  case class Config(
+      minLen: Int = 32,
+      shingleLen: Int = 5,
+      minhash: MinHashLSH.Config = MinHashLSH.Config(),
+      jaccThreshold: Double = 0.8,
+      hammingRadius: Int = 4)
+
+  case class Result(
+      keyed: DataFrame,        // images + k
+      exactEdges: DataFrame,   // (a, b) exact content dups
+      nearEdges: DataFrame,    // (a, b, jacc) caption near-dups
+      phashEdges: DataFrame,   // (a, b, dist) image near-dups
+      annotated: DataFrame,    // images + sa_remove_ranges on captions
+      clusters: DataFrame)     // (image_id, cluster_id)
+
+  def run(spark: SparkSession, images: DataFrame, cfg: Config,
+          stageDir: Option[String] = None): Result = {
+    val stage = stageDir.map(new Stage(spark, _))
+    def checkpointed(name: String)(df: => DataFrame): DataFrame =
+      stage.map(_.run(name)(df)).getOrElse(df)
+
+    val keyed = checkpointed("keyed") {
+      StableIds.assign(images, "image_id", "k")
+    }
+
+    // 2. exact duplicates over full content (bytes + caption)
+    val exactEdges = checkpointed("exact_edges") {
+      ExactDedup.flag(
+        keyed.withColumn("content", concat(sha2(col("bytes"), 256), col("caption"))),
+        "content")
+        .where(col("is_dup"))
+        .select(col("keeper").as("a"), col("k").as("b"))
+    }
+
+    // 3. substring dedup on captions, annotate mode
+    val annotated = checkpointed("annotated") {
+      SubstringDedup.annotate(
+        keyed.select(col("k"), col("caption").as("text")),
+        SubstringDedup.Config(cfg.minLen))
+        .withColumnRenamed("text", "caption")
+    }
+
+    // 4. caption near-dups: LSH candidates + exact-Jaccard verification
+    val nearEdges = checkpointed("near_edges") {
+      MinHashLSH.verifiedPairs(
+        keyed.select(col("k"), col("caption").as("text")),
+        cfg.minhash, cfg.jaccThreshold)
+    }
+
+    // 5. image-level near-dups on perceptual hash bits
+    val phashEdges = checkpointed("phash_edges") {
+      Hamming.pairs(keyed.select(col("k").as("id"), col("phash").as("bits")),
+        cfg.hammingRadius)
+    }
+
+    // 6. union -> connected components -> clusters keyed back to image_id
+    val clusters = checkpointed("clusters") {
+      val edges = exactEdges.select("a", "b")
+        .unionAll(nearEdges.select("a", "b"))
+        .unionAll(phashEdges.select("a", "b"))
+      val assigned = ConnectedComponents.assign(
+        keyed.select(col("k").as("id")), edges)
+      assigned
+        .join(keyed.select(col("k").as("id"), col("image_id")), "id")
+        .join(keyed.select(col("k").as("comp"), col("image_id").as("cluster_id")), "comp")
+        .select("image_id", "cluster_id")
+    }
+
+    Result(keyed, exactEdges, nearEdges, phashEdges, annotated, clusters)
+  }
+}

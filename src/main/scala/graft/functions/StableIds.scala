@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dense, deterministic long ids from a unique string key, without a
+  * global single-partition sort: range-partition by the key, number rows
+  * within each partition, offset by the exclusive prefix sum of partition
+  * counts (collected to the driver -- one row per partition).
+  *
+  * This reproduces the reference's stable global document order (sorted
+  * file list x linenum, indexing_v6_sharded.py:179-189) in a form that
+  * holds at 10^12 rows: no stage ever sees more than one partition's rows,
+  * and the tie-break order is a pure function of the data, never of task
+  * scheduling (SURVEY.md §7.4).
+  */
+object StableIds {
+
+  /** df + (idCol: unique string) -> df with extra `outCol` long, dense in
+    * [0, n), ordered by idCol ascending.
+    */
+  def assign(df: DataFrame, idCol: String, outCol: String = "k",
+             numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    // per-physical-partition numbering: window keyed by _pid never crosses
+    // partitions, so no global sort materializes.
+    val withRn = ranged.withColumn("_rn",
+      row_number().over(Window.partitionBy("_pid").orderBy(idCol)))
+    val counts = withRn.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+    val offsetRows = counts.map(_._1).zip(offsets.map(_._2))
+    val offsetDf = spark.createDataFrame(offsetRows.toSeq)
+      .toDF("_pid", "_off")
+    withRn
+      .join(broadcast(offsetDf), Seq("_pid"))
+      .withColumn(outCol, (col("_off") + col("_rn") - 1).cast("long"))
+      .drop("_pid", "_rn", "_off")
+  }
+}

@@ -180,7 +180,7 @@ object SubstringDedup {
       .withColumn("k", col("k").cast("long"))
       .join(ranges, Seq("k"), "left")
       .withColumn("raw",
-        coalesce(col("raw"), lit(Array.empty[Int]).cast("array<struct<s:bigint,e:bigint>>")))
+        coalesce(col("raw"), array().cast("array<struct<s:bigint,e:bigint>>")))
       .withColumn("sa_remove_ranges", Utf8.clip(encode(col("text"), "UTF-8"), col("raw")))
       .drop("raw")
   }

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Hamming, MinHashLSH, NgramJaccard, SimHash}
+import graft.functions.Shingles
+
+/** MinHash/LSH recall vs the exact inverted-index Jaccard, Hamming banding
+  * vs brute force, SimHash locality.
+  */
+class NearDupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau".split(" ")
+
+  private def corpus(seed: Int, nBase: Int): Seq[(Long, String)] = {
+    val r = new scala.util.Random(seed)
+    val base = (0 until nBase).map { i =>
+      (i.toLong, (0 until 20 + r.nextInt(20)).map(_ => words(r.nextInt(words.length))).mkString(" "))
+    }
+    // planted near-dups: junction-append copies of every 3rd doc
+    val near = base.filter(_._1 % 3 == 0).map { case (k, t) =>
+      (k + 10000L, t + " " + t.take(12))
+    }
+    base ++ near
+  }
+
+  test("LSH verified pairs = subset of exact pairs with recall >= 0.99") {
+    val docs = corpus(11, 60).toDF("k", "text")
+    val exact = NgramJaccard.pairs(docs, 5, 0.8)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val lsh = MinHashLSH.verifiedPairs(docs, MinHashLSH.Config(), 0.8)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture must plant pairs")
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.99, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
+  }
+
+  test("exact Jaccard values match a scala set computation") {
+    val docs = corpus(12, 20)
+    val got = NgramJaccard.pairs(docs.toDF("k", "text"), 5, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    def shingleSet(t: String) = t.getBytes("UTF-8").sliding(5).filter(_.length == 5)
+      .map(_.toSeq).toSet
+    for (((a, b), j) <- got) {
+      val (sa, sb) = (shingleSet(docs.toMap.apply(a)), shingleSet(docs.toMap.apply(b)))
+      val expected = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(j - expected) < 1e-5, s"pair ($a,$b)")
+    }
+  }
+
+  test("hamming banding pairs == brute force, exact recall") {
+    val r = new scala.util.Random(21)
+    val base = (0 until 150).map(i => (i.toLong, r.nextLong()))
+    val near = base.filter(_._1 % 5 == 0).map { case (id, bits) =>
+      var b = bits
+      (0 until r.nextInt(4)).foreach(_ => b ^= (1L << r.nextInt(64)))
+      (id + 10000L, b)
+    }
+    val all = base ++ near
+    val radius = 4
+    val brute = (for {
+      (ia, ba) <- all; (ib, bb) <- all if ia < ib
+      d = java.lang.Long.bitCount(ba ^ bb) if d <= radius
+    } yield (ia, ib, d)).toSet
+    val got = Hamming.pairs(all.toDF("id", "bits"), radius)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute)
+  }
+
+  test("simhash: identical docs equal, near docs close, distinct docs far") {
+    val r = new scala.util.Random(31)
+    val t1 = (0 until 60).map(_ => words(r.nextInt(words.length))).mkString(" ")
+    val t2 = t1 + " extra tail"
+    val t3 = (0 until 60).map(_ => words(r.nextInt(words.length))).mkString(" ")
+    val sh = SimHash.simhashes(
+      Seq((1L, t1), (2L, t1), (3L, t2), (4L, t3)).toDF("k", "text"), 5)
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    val near = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val far = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(near <= 8, s"near=$near")
+    assert(far > near, s"far=$far near=$near")
+  }
+
+  test("minhash signature similarity approximates jaccard") {
+    val seeds = Shingles.seeds(256)
+    val r = new scala.util.Random(41)
+    val a = Array.fill(300)(r.nextLong()).distinct.sorted
+    val b = (a.take(200) ++ Array.fill(100)(r.nextLong())).distinct.sorted
+    val sa = Shingles.minhashSignature(a, seeds)
+    val sb = Shingles.minhashSignature(b, seeds)
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / seeds.length
+    val truth = Shingles.jaccard(a, b)
+    assert(math.abs(est - truth) < 0.12, s"est=$est truth=$truth")
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnCosine, Multimodal}
+import graft.sources.ImagesGen
+
+/** End-to-end pipeline on the synthetic images fixture: cluster recall on
+  * planted duplicate edges, per-row fidelity, real decode plumbing.
+  */
+class PipelineSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val (rows, goldenEdges) = ImagesGen.generate(60)
+  private lazy val images = ImagesGen.toDf(spark, rows).cache()
+
+  test("pipeline clusters achieve dup-pair recall >= 0.99 on planted edges") {
+    val res = DedupPipeline.run(spark, images, DedupPipeline.Config())
+    val clusters = res.clusters.as[(String, String)].collect().toMap
+    assert(goldenEdges.nonEmpty)
+    val hit = goldenEdges.count { case (a, b) => clusters(a) == clusters(b) }
+    val recall = hit.toDouble / goldenEdges.size
+    assert(recall >= 0.99, s"recall=$recall (${goldenEdges.size} golden edges)")
+    // cluster_id is a member of its own cluster (min-member labeling)
+    val ids = clusters.keySet
+    assert(clusters.values.forall(ids.contains))
+    assert(clusters.forall { case (id, cid) => cid <= id })
+  }
+
+  test("per-row fidelity: bytes and captions pass through unmodified") {
+    val res = DedupPipeline.run(spark, images, DedupPipeline.Config())
+    val orig = images.select($"image_id", $"caption".as("caption0"), sha2($"bytes", 256).as("d"))
+    val out = res.annotated
+      .join(res.keyed.select($"k", $"image_id", sha2($"bytes", 256).as("d2")), "k")
+    val joined = out.join(orig, Seq("image_id"))
+    assert(joined.where($"caption" =!= $"caption0").count() == 0)
+    assert(joined.where($"d" =!= $"d2").count() == 0)
+    assert(res.annotated.count() == images.count())
+  }
+
+  test("substring dups planted in captions produce remove ranges") {
+    val res = DedupPipeline.run(spark, images, DedupPipeline.Config())
+    assert(res.annotated.where(size($"sa_remove_ranges") > 0).count() > 0)
+  }
+
+  test("real decode: png phash identical, jpg phash hamming-close") {
+    val decoded = Multimodal.decodeAndHash(images)
+      .withColumnRenamed("phash", "phash2")
+      .join(images.select($"image_id", $"phash", $"fmt"), "image_id")
+      .withColumn("drift", bit_count($"phash".bitwiseXOR($"phash2")))
+    assert(decoded.where(!$"ok").count() == 0)
+    assert(decoded.where($"fmt" === "png" && $"drift" =!= 0).count() == 0)
+    val jpgDrift = decoded.where($"fmt" === "jpg")
+      .agg(max($"drift")).as[Int].collect()(0)
+    assert(jpgDrift <= 16, s"jpeg phash drift $jpgDrift")
+  }
+
+  test("png round-trip is lossless (PSNR = inf) and resize plumbing works") {
+    val png = rows.find(_.fmt == "png").get
+    val re = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png.bytes))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.psnr(png.bytes, re).isPosInfinity)
+    val resized = Multimodal.resize(images.limit(4), 16, 16).collect()
+    assert(resized.length == 4 && resized.forall(_.getAs[Int]("w") == 16))
+  }
+
+  test("multimodal stubs: audio features + frame sampling shapes") {
+    val audio = images.limit(3).select($"image_id".as("clip_id"), $"bytes")
+    val feats = Multimodal.audioFeatures(audio, bands = 8).collect()
+    assert(feats.length == 3 && feats.forall(_.getSeq[Double](1).length == 8))
+    val vids = images.limit(2).select($"image_id".as("video_id"), $"bytes")
+    assert(Multimodal.frameSample(vids, 5).count() == 10)
+  }
+
+  test("ann: brute top-k exact, lsh top-k recall") {
+    val r = new scala.util.Random(13)
+    val vecs = (0 until 200).map(i => (i.toLong, Array.fill(16)(r.nextFloat() * 2 - 1)))
+    val corpus = vecs.toDF("id", "vec")
+    val queries = vecs.take(5).map { case (i, v) => (i, v) }.toDF("qid", "vec")
+    val brute = AnnCosine.bruteTopK(queries, corpus, 10)
+      .select($"qid", $"id").as[(Long, Long)].collect().toSet
+    // scala oracle
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val expected = (for ((qi, qv) <- vecs.take(5)) yield {
+      vecs.filter(_._1 != qi).map { case (ci, cv) => (ci, cos(qv, cv)) }
+        .sortBy { case (ci, s) => (-s, ci) }.take(10).map(c => (qi, c._1))
+    }).flatten.toSet
+    assert(brute == expected)
+    val lsh = AnnCosine.lshTopK(queries, corpus, 10, dim = 16, tables = 24, planeBits = 4)
+      .select($"qid", $"id").as[(Long, Long)].collect().toSet
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"lsh recall=$recall")
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.Stage
+import graft.streaming.EventStream
+
+class StageAndStreamSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("stage snapshot: computed once, resumed from parquet, metrics written") {
+    val dir = Files.createTempDirectory("graft_stage").toString
+    val stage = new Stage(spark, dir)
+    var computes = 0
+    def body = { computes += 1; Seq((1L, "a"), (2L, "b")).toDF("k", "v") }
+    val first = stage.run("s1")(body)
+    assert(first.count() == 2 && computes == 1)
+    val second = stage.run("s1")(body)
+    assert(second.count() == 2 && computes == 1, "must resume, not recompute")
+    val m = stage.metrics
+    assert(m.where($"stage" === "s1").agg(sum($"rows_out")).as[Long].collect()(0) == 2)
+    assert(m.columns.toSet == Set("stage", "partition", "rows_out", "wall_ms"))
+  }
+
+  test("streaming window counts equal batch on the same events") {
+    val src = Files.createTempDirectory("graft_stream").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(src)
+    val q = EventStream.streamingWindowCounts(spark, src)
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wc")
+      .as[(String, String, Long, Double)].collect().toSet
+    val batch = EventStream.windowCounts(events)
+      .as[(String, String, Long, Double)].collect().toSet
+    // append-mode watermark holds back windows newer than (max ts - 10min):
+    // streamed must be a subset; everything emitted must match batch exactly.
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+    assert((batch.size - streamed.size) <= 8, "only tail windows may be held back")
+  }
+}

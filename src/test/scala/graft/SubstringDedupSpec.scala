@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.SubstringDedup
+import graft.functions.Utf8
+
+/** Differential tests: both distributed plans (hash-agg and sort-scan)
+  * against a brute-force reimplementation of the reference naive mode
+  * (cpp_engine_dedup.h:215-302) on small random corpora -- the same
+  * correctness strategy the reference itself uses (naive vs parallel vs
+  * parallel_sharded, workflow_toy.sh:16-33).
+  */
+class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** Brute-force oracle: group positions by actual window bytes, keep the
+    * (k,pos)-minimum, coalesce the rest per doc with overlap-or-touch.
+    */
+  def bruteRanges(docs: Seq[(Long, String)], minLen: Int): Set[(Long, Long, Long)] = {
+    val wins = for {
+      (k, t) <- docs
+      b = t.getBytes(UTF_8)
+      p <- 0 to b.length - minLen
+    } yield (b.slice(p, p + minLen).toSeq, (k, p.toLong))
+    val removable = wins.groupBy(_._1).values.flatMap { g =>
+      val members = g.map(_._2).sorted
+      members.filterNot(_ == members.head)
+    }.toSeq.distinct
+    removable.groupBy(_._1).flatMap { case (k, ps) =>
+      val sorted = ps.map(_._2).sorted
+      val ranges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for (p <- sorted) {
+        if (ranges.nonEmpty && ranges.last._2 >= p)
+          ranges(ranges.length - 1) = (ranges.last._1, p + minLen)
+        else ranges += ((p, p + minLen))
+      }
+      ranges.map { case (s, e) => (k, s, e) }
+    }.toSet
+  }
+
+  def randomDocs(seed: Int, n: Int, alphabet: String): Seq[(Long, String)] = {
+    val r = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val len = r.nextInt(80)
+      (i.toLong, (0 until len).map(_ => alphabet(r.nextInt(alphabet.length))).mkString)
+    }
+  }
+
+  def spark_(docs: Seq[(Long, String)]) = docs.toDF("k", "text")
+
+  test("hash-agg plan (verify on/off) and sort-scan plan match brute force") {
+    for (seed <- Seq(1, 2, 3)) {
+      val docs = randomDocs(seed, 25, "abc") // tiny alphabet -> dense dup structure
+      val expected = bruteRanges(docs, 6)
+      val df = spark_(docs)
+      val got = SubstringDedup.removeRanges(df, SubstringDedup.Config(6))
+        .as[(Long, Long, Long)].collect().toSet
+      val gotNoVerify = SubstringDedup.removeRanges(df, SubstringDedup.Config(6, verifyBytes = false))
+        .as[(Long, Long, Long)].collect().toSet
+      val gotSortScan = SubstringDedup.removeRangesSortScan(df, 6)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected, s"hash-agg seed=$seed")
+      assert(gotNoVerify == expected, s"no-verify seed=$seed")
+      assert(gotSortScan == expected, s"sort-scan seed=$seed")
+    }
+  }
+
+  test("multi-byte UTF-8: brute force agreement + annotate clips to char boundaries") {
+    val docs = randomDocs(7, 20, "a日é😊b ")
+    val minLen = 8
+    val expected = bruteRanges(docs, minLen)
+    val df = spark_(docs)
+    val got = SubstringDedup.removeRanges(df, SubstringDedup.Config(minLen))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+
+    val annotated = SubstringDedup.annotate(df, SubstringDedup.Config(minLen))
+    val byK = docs.toMap
+    annotated.select($"k", $"sa_remove_ranges").as[(Long, Seq[(Long, Long)])]
+      .collect().foreach { case (k, ranges) =>
+        val b = byK(k).getBytes(UTF_8)
+        ranges.foreach { case (s, e) =>
+          assert(s <= e)
+          assert(s == b.length || (b(s.toInt) & 0xc0) != 0x80, s"k=$k s=$s not boundary")
+          assert(e == b.length || (b(e.toInt) & 0xc0) != 0x80, s"k=$k e=$e not boundary")
+          // clip only shrinks: re-clipping is identity
+          assert(Utf8.clipRange(b, s, e) == ((s, e)))
+        }
+        // ranges stay sorted + disjoint after clipping
+        ranges.sliding(2).foreach {
+          case Seq((_, e1), (s2, _)) => assert(e1 <= s2)
+          case _ =>
+        }
+      }
+  }
+
+  test("remove mode cuts exactly the clipped ranges") {
+    val docs = Seq(
+      (0L, "0123456789abcdefghij"),
+      (1L, "xx0123456789abcdefghijyy")) // shares a 20-byte run
+    val minLen = 10
+    val out = SubstringDedup.remove(spark_(docs), SubstringDedup.Config(minLen))
+      .select($"k", $"text_deduped").as[(Long, String)].collect().toMap
+    assert(out(0L) == "0123456789abcdefghij") // first occurrence kept whole
+    assert(out(1L) == "xxyy") // duplicated middle removed
+  }
+
+  test("docs shorter than minLen produce no windows and survive annotate") {
+    val docs = Seq((0L, "short"), (1L, "short"), (2L, ""))
+    val ranges = SubstringDedup.removeRanges(spark_(docs), SubstringDedup.Config(32))
+    assert(ranges.count() == 0)
+    val ann = SubstringDedup.annotate(spark_(docs), SubstringDedup.Config(32))
+    assert(ann.count() == 3)
+    assert(ann.where(size($"sa_remove_ranges") =!= 0).count() == 0)
+  }
+
+  test("first occurrence kept under (k, pos) order: dup_ptrs flags") {
+    val docs = Seq((5L, "ABCDEFGHIJKLMNOP"), (2L, "ABCDEFGHIJKLMNOP"))
+    val dp = SubstringDedup.dupPtrs(spark_(docs), SubstringDedup.Config(16))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(dp == Set((2L, 0L, false), (5L, 0L, true))) // k=2 is first
+  }
+}
