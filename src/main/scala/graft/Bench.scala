@@ -1,24 +1,67 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.sources.ImagesGen
+
+/** Per-round benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR plus
+  * the end-to-end images dedup pipeline (images/sec). Prints ONE JSON line.
+  */
 object Bench {
+
+  def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One timed pipeline pass; returns (nImages, seconds). The fixture dir
+    * is keyed by nBase so differently-sized runs never reuse a stale cache.
+    */
+  def pipelinePass(spark: SparkSession, fixtureBase: String, nBase: Int): (Long, Double) = {
+    val images = ImagesGen.writeFixture(spark, s"$fixtureBase-$nBase", nBase)
+    val n = images.count()
+    val t0 = System.nanoTime()
+    val res = DedupPipeline.run(spark, images, DedupPipeline.Config())
+    val clusters = res.clusters.count()
+    val annotated = res.annotated.count()
+    require(clusters == n && annotated == n, s"pipeline row fidelity: $clusters/$annotated vs $n")
+    (n, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val nBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES", "12000").toInt
+    val spark = session(cpus)
+
+    // untimed warmup: pay session/codegen/parquet-footer costs outside the
+    // first measured query.
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    SparkEntry.queries("q1_agg")(spark, sfDir).count()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-28s $sec%8.2f s")
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val (nImages, pipeSec) = pipelinePass(spark,
+      "/root/repo/target/fixtures/images_bench", nBase)
+    val imagesPerSec = nImages / pipeSec
+    System.err.println(f"[bench] pipeline: $nImages images in $pipeSec%.2f s = $imagesPerSec%.0f images/s")
+
+    val qs = (results :+ ("images_pipeline" -> pipeSec))
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + pipeSec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","images_per_sec":$imagesPerSec,"n_images":$nImages}""")
     spark.stop()
   }
 }

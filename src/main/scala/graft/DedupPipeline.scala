@@ -26,11 +26,14 @@ import graft.plans.Stage
   */
 object DedupPipeline {
 
+  /** Defaults: word-3-gram MinHash (char shingles over a narrow vocabulary
+    * flood LSH buckets -- see MinHashLSH.Config), Jaccard 0.6 verification,
+    * Hamming radius 4 on the 64 phash bits, substring minLen 32 bytes.
+    */
   case class Config(
       minLen: Int = 32,
-      shingleLen: Int = 5,
-      minhash: MinHashLSH.Config = MinHashLSH.Config(),
-      jaccThreshold: Double = 0.8,
+      minhash: MinHashLSH.Config = MinHashLSH.Config(shingleLen = 3, wordShingles = true),
+      jaccThreshold: Double = 0.6,
       hammingRadius: Int = 4)
 
   case class Result(

@@ -170,9 +170,9 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextStats.minShingleFingerprint(baseDocs(s, dir), ShingleN)),
 
-    // exact n-gram Jaccard near-dup pairs (inverted index, no LSH).
+    // exact word-3-gram Jaccard near-dup pairs (prefix-filtered, no LSH).
     "jaccard_pairs_exact" -> ((s, dir) =>
-      NgramJaccard.pairs(docsWithNearDups(s, dir), ShingleN, 0.8)),
+      NgramJaccard.wordPairs(docsWithNearDups(s, dir), 3, 0.8)),
 
     // D8: Hamming-radius pairs via pigeonhole banding.
     "d8_hamming_pairs" -> ((s, dir) =>
@@ -355,9 +355,10 @@ object SparkEntry {
     "jaccard_pairs_exact" ->
       s"""WITH docs AS ($docsWithNearDupsSql),
          |sh AS (
-         |  SELECT DISTINCT k, substr(text, i, $ShingleN) AS g FROM (
-         |    SELECT k, text, unnest(generate_series(1, length(text) - ${ShingleN - 1})) AS i
-         |    FROM docs WHERE length(text) >= $ShingleN
+         |  SELECT DISTINCT k, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM (
+         |    SELECT k, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM (
+         |      SELECT k, list_filter(string_split(text, ' '), t -> t <> '') AS ws FROM docs
+         |    ) WHERE len(ws) >= 3
          |  )
          |),
          |sizes AS (SELECT k, count(*) AS sz FROM sh GROUP BY k),

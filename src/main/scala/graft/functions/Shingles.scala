@@ -27,6 +27,34 @@ object Shingles {
   def allHashes(bytes: Array[Byte], n: Int): Array[Long] =
     PolyHash.windowHashes(bytes, n, PolyHash.B1)
 
+  /** Distinct word n-gram shingle hashes: whitespace tokens (empties
+    * dropped), shingle = n consecutive words joined by a single space,
+    * hashed over its UTF-8 bytes. Word shingles have a combinatorial
+    * universe, so document frequencies stay low even on small-vocabulary
+    * corpora where every char n-gram is near-universal -- the property
+    * prefix filtering and inverted indexes need to stay linear.
+    */
+  def wordNgramHashes(text: String, n: Int): Array[Long] = {
+    val words = text.split(" ").filter(_.nonEmpty)
+    if (words.length < n) return Array.emptyLongArray
+    val hs = new Array[Long](words.length - n + 1)
+    var i = 0
+    while (i <= words.length - n) {
+      val b = words.slice(i, i + n).mkString(" ")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      hs(i) = PolyHash.hash(b, 0, b.length, PolyHash.B1)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 1
+    i = 1
+    while (i < hs.length) {
+      if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(hs, w)
+  }
+
   /** Exact Jaccard similarity of two SORTED distinct-hash arrays. */
   def jaccard(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 0.0

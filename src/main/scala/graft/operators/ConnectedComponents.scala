@@ -75,6 +75,10 @@ object ConnectedComponents {
       curSig = nextSig
       iter += 1
     }
+    // Fail loudly rather than emit multi-labeled nodes: a non-star result
+    // would silently corrupt every downstream cluster assignment.
+    require(converged || cur.isEmpty,
+      s"connected components did not converge within $maxIter rounds")
     cur.select(col("hi").as("id"), col("lo").as("comp"))
       .unionAll(cur.select(col("lo").as("id"), col("lo").as("comp")))
       .distinct()

@@ -24,27 +24,41 @@ import graft.functions.{PolyHash, Shingles}
   */
 object MinHashLSH {
 
+  /** wordShingles=true hashes word n-grams (shingleLen = words) instead of
+    * char n-grams (shingleLen = bytes). Word shingles are the right unit
+    * for natural text: a small shared character vocabulary makes char
+    * n-grams near-universal, which floods LSH buckets with false
+    * candidates; word n-grams keep bucket sizes honest.
+    */
   case class Config(
       shingleLen: Int = 5,
       numHashes: Int = 128,
       bands: Int = 32,
-      maxBucketSize: Long = 10000) {
+      maxBucketSize: Long = 10000,
+      wordShingles: Boolean = false) {
     require(numHashes % bands == 0, "bands must divide numHashes")
     def rowsPerBand: Int = numHashes / bands
   }
+
+  private def shinglesOf(cfg: Config): (String, Array[Byte]) => Array[Long] =
+    if (cfg.wordShingles)
+      (text, _) => Shingles.wordNgramHashes(text, cfg.shingleLen)
+    else
+      (_, bytes) => Shingles.distinctHashes(bytes, cfg.shingleLen)
 
   /** docs(k, text) -> (k, sig: array<long>) one row per doc, no shuffle. */
   def signatures(docs: DataFrame, cfg: Config): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val seeds = Shingles.seeds(cfg.numHashes)
-    val n = cfg.shingleLen
+    val shingler = shinglesOf(cfg)
     docs
-      .select(col("k").cast("long"), encode(col("text"), "UTF-8").as("b"))
-      .as[(Long, Array[Byte])]
+      .select(col("k").cast("long"), col("text"))
+      .as[(Long, String)]
       .mapPartitions { it =>
-        it.map { case (k, b) =>
-          (k, Shingles.minhashSignature(Shingles.distinctHashes(b, n), seeds))
+        it.map { case (k, t) =>
+          val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (k, Shingles.minhashSignature(shingler(t, b), seeds))
         }
       }
       .toDF("k", "sig")
@@ -57,13 +71,15 @@ object MinHashLSH {
     val spark = docs.sparkSession
     import spark.implicits._
     val seeds = Shingles.seeds(cfg.numHashes)
-    val (n, bands, rows) = (cfg.shingleLen, cfg.bands, cfg.rowsPerBand)
+    val (bands, rows) = (cfg.bands, cfg.rowsPerBand)
+    val shingler = shinglesOf(cfg)
     docs
-      .select(col("k").cast("long"), encode(col("text"), "UTF-8").as("b"))
-      .as[(Long, Array[Byte])]
+      .select(col("k").cast("long"), col("text"))
+      .as[(Long, String)]
       .mapPartitions { it =>
-        it.flatMap { case (k, b) =>
-          val sig = Shingles.minhashSignature(Shingles.distinctHashes(b, n), seeds)
+        it.flatMap { case (k, t) =>
+          val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val sig = Shingles.minhashSignature(shingler(t, b), seeds)
           Iterator.range(0, bands).map { bi =>
             var h = 0x6a0917b1L + bi
             var r = 0
@@ -100,19 +116,10 @@ object MinHashLSH {
     */
   def verifiedPairs(docs: DataFrame, cfg: Config, threshold: Double): DataFrame = {
     val cand = candidatePairs(docs, cfg)
-    val sh = NgramJaccard.shingleTable(docs, cfg.shingleLen)
+    val sh =
+      if (cfg.wordShingles) NgramJaccard.wordShingleTable(docs, cfg.shingleLen)
+      else NgramJaccard.shingleTable(docs, cfg.shingleLen)
     val sizes = sh.groupBy("k").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.select(col("k").as("a"), col("sh")), "a")
-      .join(sh.select(col("k").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("k").as("a"), col("sz").as("sza")), "a")
-      .join(sizes.select(col("k").as("b"), col("sz").as("szb")), "b")
-      .withColumn("jacc",
-        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
-      .where(col("jacc") >= threshold)
-      .select(col("a"), col("b"), round(col("jacc"), 6).as("jacc"))
+    NgramJaccard.verify(cand, sh, sizes, threshold)
   }
 }

@@ -4,23 +4,24 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.Shingles
 
-/** Exact n-gram Jaccard near-duplicate pairs via an inverted shingle
-  * index -- no O(n^2) cross join: only pairs that SHARE at least one
-  * shingle are ever considered, the intersection size falls out of a
-  * groupBy on the shared-shingle join, and set sizes come from a tiny
-  * per-doc aggregate that Catalyst broadcasts when small.
+/** Exact n-gram Jaccard near-duplicate pairs with AllPairs/ppjoin-style
+  * PREFIX FILTERING (Bayardo et al. WWW'07; Xiao et al. WWW'08) -- exact,
+  * no approximation, and no quadratic inverted-index blowup:
   *
-  * This is the exact counterpart to MinHash/LSH: same shingle definition,
-  * no approximation. Used both as a first-class operator and as the
-  * verifier for LSH candidates (MinHashLSH.verifiedPairs) and as the
-  * recall oracle in tests.
+  * Order every doc's shingles by ascending global document frequency
+  * (rarest first, ties by shingle value). For Jaccard >= t, two docs MUST
+  * share a shingle within each one's first (|d| - ceil(t*|d|) + 1)
+  * shingles in that canonical order -- so only those PREFIX shingles are
+  * indexed for the candidate self-join. Prefix shingles are by
+  * construction the rarest, so the per-key join fan-out stays tiny even on
+  * corpora where the average shingle appears in hundreds of documents
+  * (which is exactly what makes a naive inverted-index join quadratic).
+  * Candidates are then verified with the true intersection over the FULL
+  * shingle sets.
   *
-  * Skew note: a shingle shared by *every* doc (boilerplate) would make the
-  * self-join quadratic on that key. `maxShingleFreq` drops shingles above
-  * a document-frequency cap before the join -- standard inverted-index
-  * stop-shingle pruning; exactness is preserved for pairs whose overlap
-  * isn't exclusively stop-shingles (and the verify path recomputes true
-  * Jaccard anyway).
+  * This is the exact counterpart to MinHash/LSH: same shingle definition.
+  * Used as a first-class operator, as the verifier for LSH candidates
+  * (MinHashLSH.verifiedPairs), and as the recall oracle in tests.
   */
 object NgramJaccard {
 
@@ -37,28 +38,75 @@ object NgramJaccard {
       .toDF("k", "sh")
   }
 
-  /** Exact Jaccard >= threshold pairs (a < b), with the similarity.
+  /** Prefix table: each doc's (|d| - ceil(t*|d|) + 1) globally-rarest
+    * shingles -- the only ones that need indexing for threshold t.
+    */
+  def prefixTable(sh: DataFrame, threshold: Double): DataFrame = {
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("df"), col("sh"))
+    sh.join(dfreq, "sh")
+      .withColumn("rnk", row_number().over(byRarity))
+      .withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")))
+      // epsilon guards the exact-integer case: ceil(240.0000000003) would
+      // otherwise shrink the prefix below the safe bound and lose recall.
+      .where(col("rnk") <= col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
+      .select("k", "sh")
+  }
+
+  /** docs(k, text) -> (k, sh: Long) distinct WORD n-gram shingle hashes.
+    * Prefer these for natural text: char n-grams over a small vocabulary
+    * are near-universal (every doc contains most of them), which defeats
+    * any inverted-index / prefix-filter join; word n-grams keep document
+    * frequency low.
+    */
+  def wordShingleTable(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("k").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (k, t) =>
+        Shingles.wordNgramHashes(t, n).iterator.map(sh => (k, sh))
+      })
+      .toDF("k", "sh")
+  }
+
+  /** Exact Jaccard >= threshold pairs (a < b) over char n-gram shingles. */
+  def pairs(docs: DataFrame, n: Int, threshold: Double): DataFrame =
+    pairsFromShingles(shingleTable(docs, n), threshold)
+
+  /** Exact Jaccard >= threshold pairs (a < b) over word n-gram shingles. */
+  def wordPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame =
+    pairsFromShingles(wordShingleTable(docs, n), threshold)
+
+  /** Prefix-filtered exact Jaccard join over any (k, sh) shingle table.
     * Output: (a, b, jacc).
     */
-  def pairs(docs: DataFrame, n: Int, threshold: Double,
-            maxShingleFreq: Long = Long.MaxValue): DataFrame = {
-    val sh = shingleTable(docs, n)
-    val pruned =
-      if (maxShingleFreq == Long.MaxValue) sh
-      else {
-        val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-          .where(col("df") > maxShingleFreq).select("sh")
-        sh.join(hot, Seq("sh"), "left_anti")
-      }
+  def pairsFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("k").agg(count(lit(1)).as("sz"))
+    val prefix = prefixTable(sh, threshold)
 
-    val left = pruned.select(col("k").as("a"), col("sh"))
-    val right = pruned.select(col("k").as("b"), col("sh"))
-    val inter = left.join(right, Seq("sh"))
+    val cand = prefix.select(col("k").as("a"), col("sh"))
+      .join(prefix.select(col("k").as("b"), col("sh")), Seq("sh"))
       .where(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+
+    verify(cand, sh, sizes, threshold)
+  }
+
+  /** Exact-intersection verification of candidate pairs against the full
+    * shingle sets. Shared with MinHashLSH.verifiedPairs.
+    */
+  def verify(cand: DataFrame, sh: DataFrame, sizes: DataFrame,
+             threshold: Double): DataFrame = {
+    val inter = cand
+      .join(sh.select(col("k").as("a"), col("sh")), "a")
+      .join(sh.select(col("k").as("b"), col("sh")), Seq("b", "sh"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("inter"))
-
     inter
       .join(sizes.select(col("k").as("a"), col("sz").as("sza")), "a")
       .join(sizes.select(col("k").as("b"), col("sz").as("szb")), "b")

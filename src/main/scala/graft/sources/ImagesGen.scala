@@ -11,13 +11,15 @@ import graft.functions.PolyHash
   *   images(image_id string, bytes binary, w int, h int, fmt string,
   *          caption string, phash long)
   *
-  * Seeded per-row via splitmix64 (no RNG state, so generation is
-  * order-independent and distributable). Plants, per FIXTURES.md F1:
-  *  - exact dups (identical bytes + caption, new id)
-  *  - caption near-dups (>= ~0.9 shingle Jaccard via junction-append)
-  *  - substring dups (shared >= minLen caption run inside distinct text)
-  *  - image near-dups (few pixels perturbed -> pHash within small Hamming)
-  *  - negatives (independent rows)
+  * Rows are rendered from a pure (spec -> row) function seeded by
+  * splitmix64, so generation is order-independent and DISTRIBUTABLE: the
+  * lightweight spec list (id, kind, baseIdx) is built on the driver, the
+  * pixel rendering + PNG/JPEG encode runs inside mapPartitions. Plants,
+  * per FIXTURES.md F1:
+  *  - exact dups (identical bytes + caption, new id)         kind=exact
+  *  - caption near-dups (~0.9 shingle Jaccard, junction append) kind=near
+  *  - substring dups (shared >= minLen caption run)          kind=substr
+  *  - image near-dups (3 pixels perturbed -> close pHash)    kind=pixel
   * plus multi-byte UTF-8 captions to exercise the clip path.
   *
   * Ships golden edges: (a, b) pairs that MUST cluster together, for recall
@@ -27,6 +29,9 @@ object ImagesGen {
 
   case class Img(image_id: String, bytes: Array[Byte], w: Int, h: Int,
                  fmt: String, caption: String, phash: Long)
+  case class Spec(image_id: String, kind: String, baseIdx: Int)
+
+  val W = 32; val H = 32
 
   private val words = Array(
     "spark", "query", "table", "join", "scan", "merge", "window", "hash",
@@ -36,21 +41,22 @@ object ImagesGen {
   private def rng(seed: Long): Iterator[Long] =
     Iterator.iterate(PolyHash.mix64(seed))(PolyHash.mix64)
 
+  private def baseSeed(i: Int): Long = 42L * 1000003 + i
+
   private def caption(seed: Long, nWords: Int): String = {
     val r = rng(seed ^ 0xcaf7e0L)
     (0 until nWords).map(_ => words(math.floorMod(r.next(), words.length).toInt))
       .mkString(" ")
   }
 
-  /** Deterministic pixels: 32x32 RGB from the seed stream. */
-  private def pixels(seed: Long, w: Int, h: Int): Array[Int] = {
+  private def pixels(seed: Long): Array[Int] = {
     val r = rng(seed ^ 0x9158e1L)
-    Array.fill(w * h)((r.next() & 0xffffff).toInt)
+    Array.fill(W * H)((r.next() & 0xffffff).toInt)
   }
 
-  private def encode(px: Array[Int], w: Int, h: Int, fmt: String): Array[Byte] = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    img.setRGB(0, 0, w, h, px, 0, w)
+  private def encode(px: Array[Int], fmt: String): Array[Byte] = {
+    val img = new BufferedImage(W, H, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, W, H, px, 0, W)
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, if (fmt == "jpg") "jpg" else "png", bos)
     bos.toByteArray
@@ -86,76 +92,89 @@ object ImagesGen {
     bits
   }
 
-  /** Generate nBase base rows + planted clusters. Returns (rows, golden
-    * edges of must-cluster pairs).
-    */
-  def generate(nBase: Int, minLen: Int = 32): (Seq[Img], Seq[(String, String)]) = {
-    val w = 32; val h = 32
-    def id(i: Int) = f"img$i%08d"
-    val rows = Vector.newBuilder[Img]
-    val edges = Vector.newBuilder[(String, String)]
+  private def baseImg(id: String, i: Int): Img = {
+    val seed = baseSeed(i)
+    val fmt = if (i % 3 == 0) "jpg" else "png"
+    val px = pixels(seed)
+    val nWords = 10 + math.floorMod(PolyHash.mix64(seed), 30).toInt
+    Img(id, encode(px, fmt), W, H, fmt, caption(seed, nWords), aHash(px, W, H))
+  }
 
-    val base = (0 until nBase).map { i =>
-      val seed = 42L * 1000003 + i
-      val fmt = if (i % 3 == 0) "jpg" else "png"
-      val px = pixels(seed, w, h)
-      val nWords = 10 + math.floorMod(PolyHash.mix64(seed), 30).toInt
-      Img(id(i), encode(px, w, h, fmt), w, h, fmt, caption(seed, nWords), aHash(px, w, h))
-    }
-    rows ++= base
-    var next = nBase
-
-    // exact dups of every 10th base row
-    base.indices.filter(_ % 10 == 0).foreach { i =>
-      val b = base(i)
-      rows += b.copy(image_id = id(next)); edges += ((b.image_id, id(next))); next += 1
-    }
-    // caption near-dups (junction append) of every 10th+1 row
-    base.indices.filter(_ % 10 == 1).foreach { i =>
-      val b = base(i)
-      val cap = b.caption + " " + b.caption.take(12)
-      rows += b.copy(image_id = id(next), caption = cap)
-      edges += ((b.image_id, id(next))); next += 1
-    }
-    // substring dups: new caption embedding a >= minLen run of base caption
-    base.indices.filter(_ % 10 == 2).foreach { i =>
-      val b = base(i)
-      val seed = 7777L + i
+  /** Pure rendering of one spec row. */
+  def render(spec: Spec, minLen: Int): Img = spec.kind match {
+    case "base" => baseImg(spec.image_id, spec.baseIdx)
+    case "exact" =>
+      baseImg("", spec.baseIdx).copy(image_id = spec.image_id)
+    case "near" =>
+      val b = baseImg("", spec.baseIdx)
+      b.copy(image_id = spec.image_id, caption = b.caption + " " + b.caption.take(12))
+    case "substr" =>
+      val b = baseImg("", spec.baseIdx)
+      val seed = 7777L + spec.baseIdx
       val run = b.caption.take(math.max(minLen + 8, b.caption.length / 2))
       val cap = caption(seed, 6) + " " + run + " " + caption(seed ^ 5, 6)
-      val px = pixels(seed ^ 0xabc, w, h)
-      rows += Img(id(next), encode(px, w, h, "png"), w, h, "png", cap, aHash(px, w, h))
-      next += 1 // substring dup, not necessarily a cluster edge
-    }
-    // image near-dups: perturb 3 pixels of every 10th+3 row
-    base.indices.filter(_ % 10 == 3).foreach { i =>
-      val b = base(i)
-      val seed = 42L * 1000003 + i
-      val px = pixels(seed, w, h)
+      val px = pixels(seed ^ 0xabc)
+      Img(spec.image_id, encode(px, "png"), W, H, "png", cap, aHash(px, W, H))
+    case "pixel" =>
+      val b = baseImg("", spec.baseIdx)
+      val seed = baseSeed(spec.baseIdx)
+      val px = pixels(seed)
       val r = rng(seed ^ 0xfeed)
       (0 until 3).foreach { _ =>
         val at = math.floorMod(r.next(), px.length).toInt
         px(at) = (px(at) ^ 0x070707) & 0xffffff
       }
-      val cap2 = caption(seed ^ 0x1234, 12)
-      rows += Img(id(next), encode(px, w, h, "png"), w, h, "png", cap2, aHash(px, w, h))
-      edges += ((b.image_id, id(next))); next += 1
-    }
-    (rows.result(), edges.result())
+      Img(spec.image_id, encode(px, "png"), W, H, "png",
+        caption(seed ^ 0x1234, 12), aHash(px, W, H))
+  }
+
+  /** Spec list (cheap, no rendering) + golden must-cluster edges. */
+  def specs(nBase: Int): (Seq[Spec], Seq[(String, String)]) = {
+    def id(i: Int) = f"img$i%08d"
+    val out = Vector.newBuilder[Spec]
+    val edges = Vector.newBuilder[(String, String)]
+    (0 until nBase).foreach(i => out += Spec(id(i), "base", i))
+    var next = nBase
+    def plant(sel: Int, kind: String, edge: Boolean): Unit =
+      (0 until nBase).filter(_ % 10 == sel).foreach { i =>
+        out += Spec(id(next), kind, i)
+        if (edge) edges += ((id(i), id(next)))
+        next += 1
+      }
+    plant(0, "exact", edge = true)
+    plant(1, "near", edge = true)
+    plant(2, "substr", edge = false)
+    plant(3, "pixel", edge = true)
+    (out.result(), edges.result())
+  }
+
+  /** Driver-side generation (tests, <= a few hundred rows). */
+  def generate(nBase: Int, minLen: Int = 32): (Seq[Img], Seq[(String, String)]) = {
+    val (sp, edges) = specs(nBase)
+    (sp.map(render(_, minLen)), edges)
   }
 
   def toDf(spark: SparkSession, rows: Seq[Img]): DataFrame = {
     import spark.implicits._
-    // parallelize deterministically ordered by image_id
     spark.createDataset(rows.sortBy(_.image_id)).toDF()
   }
 
-  /** Generate and write a fixture table (idempotent per (n, dir)). */
+  /** Distributed generation: specs parallelized, pixels rendered in
+    * mapPartitions -- scales to bench sizes without serializing the driver.
+    */
+  def generateDf(spark: SparkSession, nBase: Int, minLen: Int = 32,
+                 partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    val (sp, _) = specs(nBase)
+    spark.createDataset(sp).repartition(partitions)
+      .mapPartitions(_.map(render(_, minLen)))
+      .toDF()
+  }
+
+  /** Generate once, cache as parquet, read back (idempotent per dir). */
   def writeFixture(spark: SparkSession, dir: String, nBase: Int): DataFrame = {
-    val path = new java.io.File(dir)
     if (!new java.io.File(dir + "/_SUCCESS").exists()) {
-      val (rows, _) = generate(nBase)
-      toDf(spark, rows).repartition(8).write.mode("overwrite").parquet(dir)
+      generateDf(spark, nBase).write.mode("overwrite").parquet(dir)
     }
     spark.read.parquet(dir)
   }
