@@ -9,10 +9,18 @@ import graft.sources.ImagesGen
 object Bench {
 
   def session(cpus: String): SparkSession = {
+    // Shuffle/spill/checkpoint blocks on tmpfs: the sandbox disk has
+    // erratic write latency that stalls executor threads (observed: same
+    // stage 1.3 s vs 21 s run-to-run); production clusters get this from
+    // multiple spark.local.dir volumes (reference: --num_volumes striping,
+    // aws_workflow.sh:22-39).
+    val localDir = "/dev/shm/spark-local"
+    new java.io.File(localDir).mkdirs()
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -22,14 +30,28 @@ object Bench {
 
   /** One timed pipeline pass; returns (nImages, seconds). The fixture dir
     * is keyed by nBase so differently-sized runs never reuse a stale cache.
+    * Stages snapshot to a fresh tmpfs dir (wiped first -- a stale dir would
+    * resume instead of compute): each stage is scanned once by its
+    * consumers instead of recomputed per branch, exactly like the
+    * reference's file IRs.
     */
   def pipelinePass(spark: SparkSession, fixtureBase: String, nBase: Int): (Long, Double) = {
     val images = ImagesGen.writeFixture(spark, s"$fixtureBase-$nBase", nBase)
     val n = images.count()
+    val stageDir = "/dev/shm/graft-stages"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stageDir))
     val t0 = System.nanoTime()
-    val res = DedupPipeline.run(spark, images, DedupPipeline.Config())
+    val res = DedupPipeline.run(spark, images, DedupPipeline.Config(), Some(stageDir))
     val clusters = res.clusters.count()
-    val annotated = res.annotated.count()
+    // aggregate over sa_remove_ranges so the substring-dedup branch is
+    // actually executed -- a bare count() lets Catalyst eliminate the
+    // ranges join entirely (left join on aggregated key, no columns used).
+    val annRow = res.annotated.agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("sa_remove_ranges")))).collect()(0)
+    val annotated = annRow.getLong(0)
     require(clusters == n && annotated == n, s"pipeline row fidelity: $clusters/$annotated vs $n")
     (n, (System.nanoTime() - t0) / 1e9)
   }

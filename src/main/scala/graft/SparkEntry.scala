@@ -146,6 +146,29 @@ object SparkEntry {
     "a6_dup_ptrs" -> ((s, dir) =>
       SubstringDedup.dupPtrs(docsWithDups(s, dir), SubstringDedup.Config(MinLen))),
 
+    // A7: dup-doc assembly -- per-doc aggregation of dropped pointers.
+    "a7_dup_docs" -> ((s, dir) =>
+      SubstringDedup.dupPtrs(docsWithDups(s, dir), SubstringDedup.Config(MinLen))
+        .where(col("dropped"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_ptrs"),
+          min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))),
+
+    // E5: corpus-level removal stats (diff-ratio metrics).
+    "e5_removed_ratio" -> ((s, dir) => {
+      val docs = docsWithDups(s, dir)
+      val ranges = SubstringDedup.removeRanges(docs, SubstringDedup.Config(MinLen))
+      val per = ranges.groupBy("k").agg(sum(col("e") - col("s")).as("rb"))
+      docs.join(per, Seq("k"), "left")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("rb")).as("n_docs_removed"),
+          coalesce(sum(col("rb")), lit(0L)).as("removed_bytes"),
+          sum(length(col("text"))).cast("long").as("total_bytes"))
+        .withColumn("ratio",
+          round(col("removed_bytes").cast("double") / col("total_bytes"), 6))
+    }),
+
     // E1 + C6: exact document dedup, first-occurrence keep.
     "e1_exact_dedup" -> ((s, dir) =>
       ExactDedup.flag(docsWithDups(s, dir), "text")),
@@ -279,6 +302,32 @@ object SparkEntry {
          |  FROM pos
          |)
          |SELECT k, CAST(pos AS BIGINT) AS pos, rn > 1 AS dropped FROM ranked WHERE c > 1""".stripMargin,
+
+    "a7_dup_docs" ->
+      s"""WITH docs AS ($docsWithDupsSql),
+         |pos AS (
+         |  SELECT k, text, unnest(generate_series(0, length(text) - $MinLen)) AS pos
+         |  FROM docs WHERE length(text) >= $MinLen
+         |),
+         |ranked AS (
+         |  SELECT k, pos,
+         |         row_number() OVER (PARTITION BY substr(text, pos + 1, $MinLen) ORDER BY k, pos) AS rn
+         |  FROM pos
+         |)
+         |SELECT k, count(*) AS n_ptrs,
+         |       CAST(min(pos) AS BIGINT) AS min_pos, CAST(max(pos) AS BIGINT) AS max_pos
+         |FROM ranked WHERE rn > 1 GROUP BY k""".stripMargin,
+
+    "e5_removed_ratio" ->
+      s"""WITH ranges AS (${removeRangesOracle(docsWithDupsSql)}),
+         |docs AS ($docsWithDupsSql),
+         |per AS (SELECT k, sum(e - s) AS rb FROM ranges GROUP BY k)
+         |SELECT count(*) AS n_docs,
+         |       count(rb) AS n_docs_removed,
+         |       CAST(coalesce(sum(rb), 0) AS BIGINT) AS removed_bytes,
+         |       CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+         |       round(CAST(coalesce(sum(rb), 0) AS DOUBLE) / sum(length(text)), 6) AS ratio
+         |FROM docs LEFT JOIN per USING (k)""".stripMargin,
 
     "e1_exact_dedup" ->
       s"""WITH docs AS ($docsWithDupsSql)

@@ -59,11 +59,44 @@ object ConnectedComponents {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Below this many (deduped) edges the graph is union-found on the
+    * driver in one pass: iterative star-contraction costs ~10 Spark jobs
+    * per round, pure scheduling latency on a graph that fits in tens of
+    * MB. Above it, the O(log n) distributed path runs. Both produce the
+    * identical min-label assignment.
+    */
+  val SmallGraphEdges: Long = 2000000L
+
+  private def unionFindLocal(pairs: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) x = parent(x)
+      var y = x0
+      while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = x; y = n }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val keys = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct
+    keys.iterator.map(k => k -> find(k)).toMap
+  }
+
   /** edges(a: Long, b: Long) undirected (self-loops/dups tolerated) ->
     * assignments(id, comp) for every node incident to an edge.
     */
-  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 50,
+          smallGraphThreshold: Long = SmallGraphEdges): DataFrame = {
+    val spark = edges.sparkSession
     var cur = canon(edges).localCheckpoint(true)
+    if (cur.count() <= smallGraphThreshold) {
+      val pairs = cur.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val assigned = unionFindLocal(pairs).toSeq
+      import spark.implicits._
+      return assigned.toDF("id", "comp")
+    }
     var curSig = signature(cur)
     var converged = cur.isEmpty
     var iter = 0
@@ -87,8 +120,9 @@ object ConnectedComponents {
   /** Full assignment over a node universe: nodes(id) + edges(a,b) ->
     * (id, comp); isolated nodes map to themselves.
     */
-  def assign(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val assigned = run(edges)
+  def assign(nodes: DataFrame, edges: DataFrame,
+             smallGraphThreshold: Long = SmallGraphEdges): DataFrame = {
+    val assigned = run(edges, smallGraphThreshold = smallGraphThreshold)
     nodes.select(col("id").cast("long"))
       .join(assigned, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))

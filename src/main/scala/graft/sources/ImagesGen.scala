@@ -96,7 +96,9 @@ object ImagesGen {
     val seed = baseSeed(i)
     val fmt = if (i % 3 == 0) "jpg" else "png"
     val px = pixels(seed)
-    val nWords = 10 + math.floorMod(PolyHash.mix64(seed), 30).toInt
+    // ~60-240 words (~0.4-1.6 KB): reference-like document mass, so the
+    // dedup stages are data-bound rather than stage-latency-bound.
+    val nWords = 60 + math.floorMod(PolyHash.mix64(seed), 180).toInt
     Img(id, encode(px, fmt), W, H, fmt, caption(seed, nWords), aHash(px, W, H))
   }
 

@@ -20,16 +20,16 @@ class GraphAndIdsSpec extends AnyFunSuite with SparkTestBase {
     parent.keys.map(n => n -> find(n)).toMap
   }
 
-  test("connected components match union-find on random graphs") {
-    for (seed <- Seq(5, 6)) {
+  test("connected components match union-find on random graphs (both paths)") {
+    for (seed <- Seq(5, 6); threshold <- Seq(0L, Long.MaxValue)) {
       val r = new scala.util.Random(seed)
       val nodes = (0L until 120L).toSeq
       val edges = (0 until 90).map(_ => (r.nextInt(120).toLong, r.nextInt(120).toLong))
       val expected = bruteCC(nodes, edges)
       val got = ConnectedComponents.assign(
-        nodes.toDF("id"), edges.toDF("a", "b"))
+        nodes.toDF("id"), edges.toDF("a", "b"), smallGraphThreshold = threshold)
         .as[(Long, Long)].collect().toMap
-      assert(got == expected, s"seed=$seed")
+      assert(got == expected, s"seed=$seed threshold=$threshold")
     }
   }
 
@@ -44,10 +44,10 @@ class GraphAndIdsSpec extends AnyFunSuite with SparkTestBase {
     assert(loops == Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
   }
 
-  test("cc long chain (diameter >> 1) converges to global min") {
+  test("cc long chain (diameter >> 1) converges to global min, distributed path") {
     val n = 64L
     val edges = (0L until n - 1).map(i => (i, i + 1))
-    val got = ConnectedComponents.run(edges.toDF("a", "b"))
+    val got = ConnectedComponents.run(edges.toDF("a", "b"), smallGraphThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert((0L until n).forall(i => got(i) == 0L))
   }
