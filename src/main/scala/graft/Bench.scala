@@ -20,6 +20,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE flip SMJ -> broadcast for mid-sized build sides (the
+      // duplicated-window-hash set); plenty of driver heap for it.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "128m")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -36,12 +40,11 @@ object Bench {
     * reference's file IRs.
     */
   def pipelinePass(spark: SparkSession, fixtureBase: String, nBase: Int): (Long, Double) = {
-    val images = ImagesGen.writeFixture(spark, s"$fixtureBase-$nBase", nBase)
+    // period=40: ~10% planted duplicates, a realistic post-MinHash rate.
+    val images = ImagesGen.writeFixture(spark, s"$fixtureBase-$nBase-p40", nBase, period = 40)
     val n = images.count()
-    val stageDir = "/dev/shm/graft-stages"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stageDir))
     val t0 = System.nanoTime()
-    val res = DedupPipeline.run(spark, images, DedupPipeline.Config(), Some(stageDir))
+    val res = DedupPipeline.run(spark, images, DedupPipeline.Config())
     val clusters = res.clusters.count()
     // aggregate over sa_remove_ranges so the substring-dedup branch is
     // actually executed -- a bare count() lets Catalyst eliminate the

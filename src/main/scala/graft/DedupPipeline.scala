@@ -50,8 +50,12 @@ object DedupPipeline {
     def checkpointed(name: String)(df: => DataFrame): DataFrame =
       stage.map(_.run(name)(df)).getOrElse(df)
 
-    val keyed = checkpointed("keyed") {
-      StableIds.assign(images, "image_id", "k")
+    // `keyed` feeds five branches; without a Stage snapshot it must still
+    // be pinned once (in-memory) or every branch re-scans the source and
+    // re-runs the id join.
+    val keyed = stage match {
+      case Some(s) => s.run("keyed")(StableIds.assign(images, "image_id", "k"))
+      case None => StableIds.assign(images, "image_id", "k").localCheckpoint(true)
     }
 
     // 2. exact duplicates over full content (bytes + caption)

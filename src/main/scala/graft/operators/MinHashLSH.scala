@@ -91,9 +91,13 @@ object MinHashLSH {
       .toDF("k", "band", "band_hash")
   }
 
-  /** Candidate pairs (a < b): docs sharing at least one band bucket. */
+  /** Candidate pairs (a < b): docs sharing at least one band bucket.
+    * The band table is pinned once (eager localCheckpoint): it feeds the
+    * hot-bucket prune and both sides of the self-join, and the dominant
+    * cost of recomputing it is the per-doc MinHash signature pass.
+    */
   def candidatePairs(docs: DataFrame, cfg: Config): DataFrame = {
-    val bt = bandTable(docs, cfg)
+    val bt = bandTable(docs, cfg).localCheckpoint(true)
     val pruned =
       if (cfg.maxBucketSize == Long.MaxValue) bt
       else {
@@ -109,17 +113,26 @@ object MinHashLSH {
       .distinct()
   }
 
+  /** Per-doc sorted distinct shingle-set arrays, computed map-side. */
+  def shingleSets(docs: DataFrame, cfg: Config): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shingler = shinglesOf(cfg)
+    docs.select(col("k").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (k, t) =>
+        val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (k, shingler(t, b))
+      })
+      .toDF("k", "sset")
+  }
+
   /** Candidates re-verified with EXACT shingle Jaccard >= threshold.
     * Output (a, b, jacc) -- the LSH-accelerated version of
     * NgramJaccard.pairs: same result set minus LSH false negatives
     * (recall is tuned by bands/rows; tests assert >= 0.99 on fixtures).
     */
-  def verifiedPairs(docs: DataFrame, cfg: Config, threshold: Double): DataFrame = {
-    val cand = candidatePairs(docs, cfg)
-    val sh =
-      if (cfg.wordShingles) NgramJaccard.wordShingleTable(docs, cfg.shingleLen)
-      else NgramJaccard.shingleTable(docs, cfg.shingleLen)
-    val sizes = sh.groupBy("k").agg(count(lit(1)).as("sz"))
-    NgramJaccard.verify(cand, sh, sizes, threshold)
-  }
+  def verifiedPairs(docs: DataFrame, cfg: Config, threshold: Double): DataFrame =
+    NgramJaccard.verifyWithSets(
+      candidatePairs(docs, cfg), shingleSets(docs, cfg), threshold)
 }

@@ -102,17 +102,22 @@ object NgramJaccard {
     */
   def verify(cand: DataFrame, sh: DataFrame, sizes: DataFrame,
              threshold: Double): DataFrame = {
-    val inter = cand
-      .join(sh.select(col("k").as("a"), col("sh")), "a")
-      .join(sh.select(col("k").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("k").as("a"), col("sz").as("sza")), "a")
-      .join(sizes.select(col("k").as("b"), col("sz").as("szb")), "b")
-      .withColumn("jacc",
-        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+    val sets = sh.groupBy("k").agg(sort_array(collect_list(col("sh"))).as("sset"))
+    verifyWithSets(cand, sets, threshold)
+  }
+
+  /** Verification against per-doc shingle-set ARRAYS (k, sset): two
+    * equi-joins + a codegen'd array_intersect -- half the shuffles of the
+    * exploded-shingle form, and the set arrays are bounded by doc size so
+    * they stay small at any corpus scale.
+    */
+  def verifyWithSets(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(sets.select(col("k").as("a"), col("sset").as("sa")), "a")
+      .join(sets.select(col("k").as("b"), col("sset").as("sb")), "b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jacc", col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")))
       .where(col("jacc") >= threshold)
       .select(col("a"), col("b"), round(col("jacc"), 6).as("jacc"))
-  }
 }

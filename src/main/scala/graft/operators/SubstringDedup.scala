@@ -67,9 +67,23 @@ object SubstringDedup {
 
   /** Removable positions: every (k,pos) whose window equals the window of a
     * strictly smaller (k,pos). Output: (k, pos).
+    *
+    * Shuffle-lean two-pass shape: positions are ~98% windows that occur
+    * once, so pass 1 aggregates ONLY the 8-byte h1 hash (5x fewer shuffle
+    * bytes than full rows) to find duplicated hashes; the full (h1,h2,k,
+    * pos) rows of only those windows -- the window generation is O(1)/byte
+    * and recomputed rather than cached -- enter the min/keeper machinery.
+    * h1-level false positives (distinct windows sharing h1) are harmless:
+    * their (h1,h2) groups have a single member and drop out at the c>1
+    * filter. AQE turns the dup-hash join into a broadcast when the dup set
+    * is small (the common case), so the 51M-row side is never sorted.
     */
   def removablePositions(docs: DataFrame, cfg: Config): DataFrame = {
-    val win = windows(docs, cfg.minLen)
+    val win0 = windows(docs, cfg.minLen)
+    val dupHashes = win0
+      .groupBy("h1").agg(count(lit(1)).as("c")).where(col("c") > 1)
+      .select("h1")
+    val win = windows(docs, cfg.minLen).join(dupHashes, Seq("h1"))
 
     // Two-phase salted min: partial min per (h1,h2,salt), then the tiny
     // final agg per (h1,h2). Groups with a single member are dropped ASAP

@@ -130,15 +130,21 @@ object ImagesGen {
         caption(seed ^ 0x1234, 12), aHash(px, W, H))
   }
 
-  /** Spec list (cheap, no rendering) + golden must-cluster edges. */
-  def specs(nBase: Int): (Seq[Spec], Seq[(String, String)]) = {
+  /** Spec list (cheap, no rendering) + golden must-cluster edges.
+    * `period` controls planted-duplicate density: one copy of each kind
+    * per `period` base rows (period=10 -> 40% planted rows for dense unit
+    * tests; period=40 -> ~10%, a realistic post-MinHash duplication rate
+    * for benchmarks -- the reference corpus arrives already MinHash-deduped,
+    * README.md:17).
+    */
+  def specs(nBase: Int, period: Int = 10): (Seq[Spec], Seq[(String, String)]) = {
     def id(i: Int) = f"img$i%08d"
     val out = Vector.newBuilder[Spec]
     val edges = Vector.newBuilder[(String, String)]
     (0 until nBase).foreach(i => out += Spec(id(i), "base", i))
     var next = nBase
     def plant(sel: Int, kind: String, edge: Boolean): Unit =
-      (0 until nBase).filter(_ % 10 == sel).foreach { i =>
+      (0 until nBase).filter(_ % period == sel).foreach { i =>
         out += Spec(id(next), kind, i)
         if (edge) edges += ((id(i), id(next)))
         next += 1
@@ -151,8 +157,8 @@ object ImagesGen {
   }
 
   /** Driver-side generation (tests, <= a few hundred rows). */
-  def generate(nBase: Int, minLen: Int = 32): (Seq[Img], Seq[(String, String)]) = {
-    val (sp, edges) = specs(nBase)
+  def generate(nBase: Int, minLen: Int = 32, period: Int = 10): (Seq[Img], Seq[(String, String)]) = {
+    val (sp, edges) = specs(nBase, period)
     (sp.map(render(_, minLen)), edges)
   }
 
@@ -165,18 +171,19 @@ object ImagesGen {
     * mapPartitions -- scales to bench sizes without serializing the driver.
     */
   def generateDf(spark: SparkSession, nBase: Int, minLen: Int = 32,
-                 partitions: Int = 32): DataFrame = {
+                 partitions: Int = 32, period: Int = 10): DataFrame = {
     import spark.implicits._
-    val (sp, _) = specs(nBase)
+    val (sp, _) = specs(nBase, period)
     spark.createDataset(sp).repartition(partitions)
       .mapPartitions(_.map(render(_, minLen)))
       .toDF()
   }
 
   /** Generate once, cache as parquet, read back (idempotent per dir). */
-  def writeFixture(spark: SparkSession, dir: String, nBase: Int): DataFrame = {
+  def writeFixture(spark: SparkSession, dir: String, nBase: Int,
+                   period: Int = 10): DataFrame = {
     if (!new java.io.File(dir + "/_SUCCESS").exists()) {
-      generateDf(spark, nBase).write.mode("overwrite").parquet(dir)
+      generateDf(spark, nBase, period = period).write.mode("overwrite").parquet(dir)
     }
     spark.read.parquet(dir)
   }
