@@ -134,9 +134,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // A1 + A4 + E1: hash-agg substring dedup -> coalesced remove ranges.
+    // A1 + A4 + E1: hash-agg substring dedup -> coalesced remove ranges
+    // (differential sibling of a2's sort-scan plan; same oracle).
     "a1_remove_ranges" -> ((s, dir) =>
-      SubstringDedup.removeRanges(docsWithDups(s, dir), SubstringDedup.Config(MinLen))),
+      SubstringDedup.removeRangesHashAgg(docsWithDups(s, dir), SubstringDedup.Config(MinLen))),
 
     // A2 + F1: sort-scan substring dedup (differential plan, same oracle).
     "a2_remove_ranges_sortscan" -> ((s, dir) =>

