@@ -12,7 +12,7 @@ object Debug {
     val nBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES", "50000").toInt
     val spark = Bench.session(cpus)
     val images = ImagesGen.writeFixture(spark,
-      s"/root/repo/target/fixtures/images_bench-$nBase-p40", nBase, period = 40)
+      s"/dev/shm/graft-fixtures/images_bench-$nBase-p40", nBase, period = 40)
     images.count()
 
     def time(name: String)(f: => Long): Unit = {
@@ -24,7 +24,7 @@ object Debug {
     val cfg = DedupPipeline.Config()
     var keyed: org.apache.spark.sql.DataFrame = null
     time("keyed") {
-      keyed = StableIds.assign(images, "image_id", "k").localCheckpoint(true)
+      keyed = images.join(broadcast(StableIds.idMap(images, "image_id", "k")), Seq("image_id"))
       keyed.count()
     }
     time("exact")(ExactDedup.flag(

@@ -50,13 +50,24 @@ object DedupPipeline {
     def checkpointed(name: String)(df: => DataFrame): DataFrame =
       stage.map(_.run(name)(df)).getOrElse(df)
 
-    // `keyed` feeds five branches; without a Stage snapshot it must still
-    // be pinned once (in-memory) or every branch re-scans the source and
-    // re-runs the id join.
-    val keyed = stage match {
-      case Some(s) => s.run("keyed")(StableIds.assign(images, "image_id", "k"))
-      case None => StableIds.assign(images, "image_id", "k").localCheckpoint(true)
+    // Pin only the narrow (image_id -> k) id MAP: range bounds are sampled
+    // per execution, so the assignment must be materialized once (see
+    // StableIds); the payload join is left lazy and recomputed per branch
+    // so parquet column pruning reaches every consumer's scan (annotate
+    // reads captions only, phash reads hashes only, exact reads bytes).
+    // At 10^12 rows a full-payload checkpoint would be the bottleneck --
+    // the two-column map is the only thing worth snapshotting.
+    val idMap = stage match {
+      case Some(s) => s.run("id_map")(StableIds.idMap(images, "image_id", "k"))
+      case None => StableIds.idMap(images, "image_id", "k")
     }
+    // Explicit broadcast: the pinned map is RDD-backed (localCheckpoint),
+    // so Catalyst sees no size statistics and would fall back to a
+    // sort-merge join that shuffles the full payload at every consumer.
+    // At 10^12 rows the map is snapshot to a table instead (stageDir path)
+    // and AQE picks the join strategy from real stats.
+    val keyed = images.join(
+      if (stage.isDefined) idMap else broadcast(idMap), Seq("image_id"))
 
     // 2. exact duplicates over full content (bytes + caption)
     val exactEdges = checkpointed("exact_edges") {
@@ -93,11 +104,13 @@ object DedupPipeline {
       val edges = exactEdges.select("a", "b")
         .unionAll(nearEdges.select("a", "b"))
         .unionAll(phashEdges.select("a", "b"))
+      // the vertex set and the id<->image_id translation only need the
+      // narrow pinned id map -- never the payload
       val assigned = ConnectedComponents.assign(
-        keyed.select(col("k").as("id")), edges)
+        idMap.select(col("k").as("id")), edges)
       assigned
-        .join(keyed.select(col("k").as("id"), col("image_id")), "id")
-        .join(keyed.select(col("k").as("comp"), col("image_id").as("cluster_id")), "comp")
+        .join(idMap.select(col("k").as("id"), col("image_id")), "id")
+        .join(idMap.select(col("k").as("comp"), col("image_id").as("cluster_id")), "comp")
         .select("image_id", "cluster_id")
     }
 

@@ -155,8 +155,13 @@ object SubstringDedup {
   private def sortScanCandidates(docs: DataFrame, minLen: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // HASH repartition, not range: equal (h1,h2) keys co-locate either way
+    // (all we need -- the reference's run-aligned boundary rule, h:324-338),
+    // but RangePartitioner runs a separate sampling job over the input,
+    // i.e. a second full window-generation pass. Hash keys are uniform by
+    // construction, so hash partitioning is also perfectly balanced.
     windows(docs, minLen)
-      .repartitionByRange(col("h1"), col("h2"))
+      .repartition(col("h1"), col("h2"))
       .sortWithinPartitions("h1", "h2", "k", "pos")
       .as[(Long, Long, Long, Long)]
       .mapPartitions { it =>

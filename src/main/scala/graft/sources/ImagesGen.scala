@@ -179,11 +179,17 @@ object ImagesGen {
       .toDF()
   }
 
-  /** Generate once, cache as parquet, read back (idempotent per dir). */
+  /** Generate once, cache as parquet, read back (idempotent per dir).
+    * 96 output files: a small file has a single parquet row group, and a
+    * row group is the minimum split unit -- with few fat files the scan
+    * stage caps at file count tasks no matter how many cores exist. 96
+    * keeps every scan-stage divisible by 8/16/32-core runs.
+    */
   def writeFixture(spark: SparkSession, dir: String, nBase: Int,
                    period: Int = 10): DataFrame = {
     if (!new java.io.File(dir + "/_SUCCESS").exists()) {
-      generateDf(spark, nBase, period = period).write.mode("overwrite").parquet(dir)
+      generateDf(spark, nBase, partitions = 96, period = period)
+        .write.mode("overwrite").parquet(dir)
     }
     spark.read.parquet(dir)
   }
