@@ -1,0 +1,151 @@
+package graft
+
+import graft.functions.{PolyHash, Shingles}
+
+/** DuckDB-SQL reimplementation of the engine's hash primitives, used to
+  * build EXACT oracles for the MinHash/LSH/SimHash family (VERDICT r1
+  * item 3: "signatures are deterministic 64-bit integer arithmetic ...
+  * expressible in DuckDB SQL bit arithmetic").
+  *
+  * Representation: all 64-bit values are carried as HUGEINT in [0, 2^64).
+  *  - wrapping 64-bit multiply: 32-bit split schoolbook product mod 2^64
+  *    (a HUGEINT product of two full 64-bit values would overflow 128 bits)
+  *  - xor: DuckDB's xor() on the two 32-bit halves, reassembled
+  *  - logical shift right: integer division by 2^n (values are unsigned)
+  *  - polyhash61: list_reduce over ord() of each char -- valid because the
+  *    driver corpus is pure ASCII (TESTDATA.md), so char ordinal == byte
+  *  - splitmix64: the three mix steps as chained CTEs (one column each);
+  *    inlining would duplicate subexpressions exponentially
+  * Final values are converted to signed BIGINT to match Spark's Long.
+  */
+object OracleSqlGen {
+
+  private val M64 = BigInt(1) << 64
+  private val C1 = BigInt("9e3779b97f4a7c15", 16)
+  private val C2 = BigInt("bf58476d1ce4e5b9", 16)
+  private val C3 = BigInt("94d049bb133111eb", 16)
+
+  private def unsigned(l: Long): String =
+    java.lang.Long.toUnsignedString(l)
+
+  /** (a * c) mod 2^64 for HUGEINT expr `a` and constant c. */
+  private def mul(a: String, c: BigInt): String = {
+    val lo = c % (BigInt(1) << 32)
+    val hi = c >> 32
+    s"((($a) % 4294967296) * $lo + (((($a) % 4294967296) * $hi + (($a) // 4294967296) * $lo) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT"
+  }
+
+  /** 64-bit xor of two HUGEINT exprs via 32-bit halves. */
+  private def xor(a: String, b: String): String =
+    s"(xor((($a) // 4294967296)::BIGINT, (($b) // 4294967296)::BIGINT)::HUGEINT * 4294967296 + " +
+      s"xor((($a) % 4294967296)::BIGINT, (($b) % 4294967296)::BIGINT)::HUGEINT)"
+
+  /** Three chained CTEs applying splitmix64 to column `zcol` of CTE `src`,
+    * producing column `out` in CTE `{pfx}3`; all other columns carried.
+    */
+  private def mixCtes(src: String, zcol: String, out: String, pfx: String): String = {
+    val z3 = mul(xor("_z2", "_z2 // 134217728"), C3)
+    s"""${pfx}1 AS (SELECT * EXCLUDE ($zcol), ($zcol + ${C1}) % 18446744073709551616::HUGEINT AS _z1 FROM $src),
+       |${pfx}2 AS (SELECT * EXCLUDE (_z1), ${mul(xor("_z1", "_z1 // 1073741824"), C2)} AS _z2 FROM ${pfx}1),
+       |${pfx}3 AS (SELECT * EXCLUDE (_z2), ${xor(z3, s"($z3) // 2147483648")} AS $out FROM ${pfx}2)""".stripMargin
+  }
+
+  private def signed(x: String): String =
+    s"CASE WHEN $x >= 9223372036854775808::HUGEINT THEN ($x - 18446744073709551616::HUGEINT)::BIGINT ELSE ($x)::BIGINT END"
+
+  /** Distinct word-3-gram polyhash61 shingles of docs(k, text) -- mirrors
+    * Shingles.wordNgramHashes (dedup by HASH, matching Spark exactly).
+    */
+  private def wordShingleCtes(docsSql: String, n: Int): String =
+    s"""docs AS ($docsSql),
+       |ws AS (SELECT k, list_filter(string_split(text, ' '), t -> t <> '') AS w FROM docs),
+       |grams AS (SELECT DISTINCT k, ${Seq.tabulate(n)(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")} AS g
+       |          FROM (SELECT k, w, unnest(generate_series(1, len(w) - ${n - 1})) AS i FROM ws WHERE len(w) >= $n)),
+       |ph0 AS (SELECT k, list_reduce(list_prepend(0::HUGEINT, list_transform(range(1, length(g)+1), i -> ord(substr(g, i, 1))::HUGEINT)), (h, c) -> (h * 131 + c) % 2305843009213693951) AS sh FROM grams),
+       |ph AS (SELECT DISTINCT k, sh FROM ph0)""".stripMargin
+
+  /** sig CTE: (k, i, m) MinHash signature components as HUGEINT. */
+  private def sigCtes(docsSql: String, cfg: graft.operators.MinHashLSH.Config): String = {
+    val seedVals = Shingles.seeds(cfg.numHashes).zipWithIndex
+      .map { case (s, i) => s"($i, ${unsigned(s)}::HUGEINT)" }.mkString(", ")
+    s"""${wordShingleCtes(docsSql, cfg.shingleLen)},
+       |seeds(i, seed) AS (VALUES $seedVals),
+       |zz AS (SELECT k, i, ${xor("sh", "seed")} AS z0 FROM ph CROSS JOIN seeds),
+       |${mixCtes("zz", "z0", "m", "mm")},
+       |sig AS (SELECT k, i, min(${signed("m")}) AS ms FROM mm3 GROUP BY k, i),
+       |sigu AS (SELECT k, i, CASE WHEN ms < 0 THEN ms::HUGEINT + 18446744073709551616::HUGEINT ELSE ms::HUGEINT END AS m FROM sig)""".stripMargin
+    // min is over SIGNED values: Spark's minhashSignature compares Longs,
+    // so the smallest signature component is the signed minimum, not the
+    // unsigned one; sigu restores the raw 64-bit pattern for band folding.
+  }
+
+  /** Oracle: (k, i, sig) signature components, signed. */
+  def minhashSigsSql(docsSql: String, cfg: graft.operators.MinHashLSH.Config): String =
+    s"""WITH ${sigCtes(docsSql, cfg)}
+       |SELECT k, CAST(i AS INT) AS i, ms AS sig FROM sig""".stripMargin
+
+  /** band-table CTEs ending in bt(k, band, bh[HUGEINT]). Assumes
+    * rowsPerBand == 2 (two chained mix64 folds, reference Config).
+    */
+  private def bandCtes(docsSql: String, cfg: graft.operators.MinHashLSH.Config): String = {
+    require(cfg.rowsPerBand == 2, "oracle band fold is generated for rowsPerBand=2")
+    val bandVals = (0 until cfg.bands)
+      .map(bi => s"($bi, ${0x6a0917b1L + bi}::HUGEINT)").mkString(", ")
+    s"""${sigCtes(docsSql, cfg)},
+       |bandseed(band, h0) AS (VALUES $bandVals),
+       |bjoin AS (SELECT s0.k AS k, b.band AS band, ${xor("b.h0", "s0.m")} AS z0, s1.m AS m1
+       |          FROM bandseed b JOIN sigu s0 ON s0.i = b.band * 2 JOIN sigu s1 ON s1.k = s0.k AND s1.i = b.band * 2 + 1),
+       |${mixCtes("bjoin", "z0", "h1", "ba")},
+       |bz AS (SELECT k, band, ${xor("h1", "m1")} AS z0 FROM ba3),
+       |${mixCtes("bz", "z0", "bh", "bb")},
+       |bt AS (SELECT k, band, bh FROM bb3)""".stripMargin
+  }
+
+  /** Oracle: (k, band, band_hash) LSH band table, signed. */
+  def bandTableSql(docsSql: String, cfg: graft.operators.MinHashLSH.Config): String =
+    s"""WITH ${bandCtes(docsSql, cfg)}
+       |SELECT k, CAST(band AS INT) AS band, ${signed("bh")} AS band_hash FROM bt""".stripMargin
+
+  /** Oracle: (a, b) distinct candidate pairs sharing >= 1 band bucket. */
+  def candidatePairsSql(docsSql: String, cfg: graft.operators.MinHashLSH.Config): String =
+    s"""WITH ${bandCtes(docsSql, cfg)}
+       |SELECT DISTINCT b1.k AS a, b2.k AS b
+       |FROM bt b1 JOIN bt b2 ON b1.band = b2.band AND b1.bh = b2.bh AND b1.k < b2.k""".stripMargin
+
+  /** Oracle: (a, b, jacc) candidates verified with exact shingle Jaccard
+    * >= threshold (the MinHashLSH.verifiedPairs contract).
+    */
+  def verifiedPairsSql(docsSql: String, cfg: graft.operators.MinHashLSH.Config,
+                       threshold: Double): String =
+    s"""WITH ${bandCtes(docsSql, cfg)},
+       |cand AS (SELECT DISTINCT b1.k AS a, b2.k AS b
+       |         FROM bt b1 JOIN bt b2 ON b1.band = b2.band AND b1.bh = b2.bh AND b1.k < b2.k),
+       |sizes AS (SELECT k, count(*) AS sz FROM ph GROUP BY k),
+       |inter AS (SELECT c.a, c.b, count(*) AS i
+       |          FROM cand c JOIN ph pa ON pa.k = c.a JOIN ph pb ON pb.k = c.b AND pb.sh = pa.sh
+       |          GROUP BY c.a, c.b)
+       |SELECT it.a, it.b, round(CAST(it.i AS DOUBLE) / (sa.sz + sb.sz - it.i), 6) AS jacc
+       |FROM inter it JOIN sizes sa ON it.a = sa.k JOIN sizes sb ON it.b = sb.k
+       |WHERE CAST(it.i AS DOUBLE) / (sa.sz + sb.sz - it.i) >= $threshold""".stripMargin
+
+  /** Oracle: (k, simhash) over char n-gram BAG shingles (SimHash.simhashes
+    * semantics: Shingles.allHashes keeps duplicates, no dedup).
+    */
+  def simhashSql(docsSql: String, n: Int): String = {
+    val bitVals = (0 until 64)
+      .map(j => s"($j, ${BigInt(1) << j}::HUGEINT)").mkString(", ")
+    s"""WITH docs AS ($docsSql),
+       |grams AS (SELECT k, substr(text, i, $n) AS g
+       |          FROM (SELECT k, text, unnest(generate_series(1, length(text) - ${n - 1})) AS i FROM docs WHERE length(text) >= $n)),
+       |ph AS (SELECT k, list_reduce(list_prepend(0::HUGEINT, list_transform(range(1, length(g)+1), i -> ord(substr(g, i, 1))::HUGEINT)), (h, c) -> (h * 131 + c) % 2305843009213693951) AS z0 FROM grams),
+       |${mixCtes("ph", "z0", "m", "sm")},
+       |bits(j, p) AS (VALUES $bitVals),
+       |votes AS (SELECT k, j, p, sum(CASE WHEN (m // p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |          FROM sm3 CROSS JOIN bits GROUP BY k, j, p),
+       |outv AS (SELECT k, sum(CASE WHEN v > 0 THEN p ELSE 0::HUGEINT END) AS s64 FROM votes GROUP BY k)
+       |SELECT k, ${signed("s64")} AS simhash FROM outv""".stripMargin
+  }
+
+  /** Sanity self-check used by tests: mix64 in Scala == reference. */
+  def mix64Ref(z: Long): Long = PolyHash.mix64(z)
+}

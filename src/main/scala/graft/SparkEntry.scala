@@ -77,6 +77,23 @@ object SparkEntry {
       |       substr(text, 1, 50) || ' zq' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 51) AS text
       |FROM documents WHERE doc_id % 7 = 2""".stripMargin
 
+  /** Oracle config for the LSH family: a small signature (8 hashes, 4
+    * bands x 2 rows) keeps the DuckDB SQL reimplementation of
+    * polyhash61/splitmix64 tractable; no bucket prune so the candidate
+    * semantics are exactly "share >= 1 band bucket" (same as the SQL).
+    */
+  private val lshOracleCfg = MinHashLSH.Config(
+    shingleLen = 3, numHashes = 8, bands = 4,
+    maxBucketSize = Long.MaxValue, wordShingles = true)
+
+  /** Docs with >= 3 words: below that the Spark side emits sentinel
+    * signatures while SQL gram generation emits nothing -- excluded on
+    * both sides so the contract is identical.
+    */
+  private def lshDocs(spark: SparkSession, dir: String): DataFrame =
+    docsWithNearDups(spark, dir)
+      .where(expr("size(filter(split(text, ' '), x -> x != '')) >= 3"))
+
   /** 64-bit pseudo-phash: groups of 10 consecutive doc_ids share a base
     * pattern and differ in <= 4 low bits -> guaranteed Hamming-near pairs.
     */
@@ -197,6 +214,28 @@ object SparkEntry {
     // exact word-3-gram Jaccard near-dup pairs (prefix-filtered, no LSH).
     "jaccard_pairs_exact" -> ((s, dir) =>
       NgramJaccard.wordPairs(docsWithNearDups(s, dir), 3, 0.8)),
+
+    // E6: MinHash signature components (exact DuckDB bit-arithmetic oracle).
+    "e6_minhash_sigs" -> ((s, dir) =>
+      MinHashLSH.signatures(lshDocs(s, dir), lshOracleCfg)
+        .select(col("k"), posexplode(col("sig")))
+        .select(col("k"), col("pos").cast("int").as("i"), col("col").as("sig"))),
+
+    // D7: LSH band table (k, band, band_hash).
+    "d7_lsh_band_table" -> ((s, dir) =>
+      MinHashLSH.bandTable(lshDocs(s, dir), lshOracleCfg)),
+
+    // D7: LSH band-bucket candidate self-join.
+    "d7_lsh_candidates" -> ((s, dir) =>
+      MinHashLSH.candidatePairs(lshDocs(s, dir), lshOracleCfg)),
+
+    // D7 + E6: candidates verified with exact shingle Jaccard.
+    "d7_lsh_verified" -> ((s, dir) =>
+      MinHashLSH.verifiedPairs(lshDocs(s, dir), lshOracleCfg, 0.6)),
+
+    // SimHash 64-bit fingerprints over char-5-gram bags.
+    "simhash_values" -> ((s, dir) =>
+      SimHash.simhashes(baseDocs(s, dir).where(length(col("text")) >= 5), 5)),
 
     // D8: Hamming-radius pairs via pigeonhole banding.
     "d8_hamming_pairs" -> ((s, dir) =>
@@ -420,6 +459,13 @@ object SparkEntry {
          |SELECT a, b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jacc
          |FROM inter JOIN sizes sa ON inter.a = sa.k JOIN sizes sb ON inter.b = sb.k
          |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8""".stripMargin,
+
+    "e6_minhash_sigs" -> OracleSqlGen.minhashSigsSql(docsWithNearDupsSql, lshOracleCfg),
+    "d7_lsh_band_table" -> OracleSqlGen.bandTableSql(docsWithNearDupsSql, lshOracleCfg),
+    "d7_lsh_candidates" -> OracleSqlGen.candidatePairsSql(docsWithNearDupsSql, lshOracleCfg),
+    "d7_lsh_verified" -> OracleSqlGen.verifiedPairsSql(docsWithNearDupsSql, lshOracleCfg, 0.6),
+    "simhash_values" -> OracleSqlGen.simhashSql(
+      "SELECT CAST(doc_id AS BIGINT) AS k, text FROM documents WHERE length(text) >= 5", 5),
 
     "d8_hamming_pairs" ->
       s"""WITH ph AS ($phashDocsSql)
