@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** JSONL writeback sink (reference B7): re-serialize each document as one
+  * JSON line and write one output file per ORIGINAL input file, mirroring
+  * the input's relative path tree, rows in original line order, optionally
+  * compressed -- the reference's final pipeline step
+  * (write_back_to_jsonl_sharded.py:39-66, 95-101: group docs by `path`,
+  * emit `json.dumps({**item, **meta})` lines, compress .zst/.gz).
+  *
+  * Spark shape: `repartition(path)` routes every doc of one input file to
+  * one task (the reference's worker-per-shard fan-out, :113-118);
+  * `sortWithinPartitions(path, linenum)` restores original line order
+  * (the reference streams docs by index); the partition writer switches
+  * output files on path change -- each file is written exactly once by
+  * exactly one task, so the sink is idempotent per task attempt and safe
+  * under task retries (last attempt wins via overwrite=true).
+  */
+object Writeback {
+
+  /** docs(pathCol, linenumCol, payload...) -> `outDir`/<path>[.gz|.zst]
+    * JSONL files; every column except path/linenum lands in the JSON
+    * object. Returns (file, rows) per written file -- materialize it
+    * (e.g. `.count()`) to execute the write.
+    *
+    * compression: "gzip" | "zstd" | "none" (reference supports the same
+    * three, write_back_to_jsonl_sharded.py:39-56).
+    */
+  def jsonlTree(docs: DataFrame, outDir: String,
+                pathCol: String = "path", linenumCol: String = "linenum",
+                compression: String = "gzip"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(Set("gzip", "zstd", "none")(compression), s"unknown compression $compression")
+    val payload = docs.columns.filter(c => c != pathCol && c != linenumCol)
+    val rows = docs.select(
+        col(pathCol).as("_p"),
+        col(linenumCol).cast("long").as("_ln"),
+        to_json(struct(payload.map(col).toSeq: _*)).as("_js"))
+      .repartition(col("_p"))
+      .sortWithinPartitions("_p", "_ln")
+      .as[(String, Long, String)]
+    val suffix = compression match {
+      case "gzip" => ".gz"; case "zstd" => ".zst"; case _ => ""
+    }
+    rows.mapPartitions { it =>
+      // Executor-side Hadoop conf: default-configured (core-site from the
+      // classpath), which covers local FS and default HDFS/s3a deployments.
+      val conf = new Configuration()
+      val written = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      var cur: String = null
+      var os: java.io.OutputStream = null
+      var n = 0L
+      def finish(): Unit = if (os != null) {
+        os.close(); os = null; written += ((cur, n))
+      }
+      it.foreach { case (p, _, js) =>
+        if (p != cur) {
+          finish()
+          cur = p; n = 0L
+          val target = new Path(outDir, p + suffix)
+          val raw = target.getFileSystem(conf).create(target, true)
+          os = compression match {
+            case "gzip" => new java.util.zip.GZIPOutputStream(raw)
+            case "zstd" => new com.github.luben.zstd.ZstdOutputStream(raw)
+            case _      => raw
+          }
+        }
+        os.write((js + "\n").getBytes(StandardCharsets.UTF_8))
+        n += 1
+      }
+      finish()
+      written.iterator
+    }.toDF("file", "rows")
+  }
+}

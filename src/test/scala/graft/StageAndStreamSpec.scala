@@ -20,7 +20,13 @@ class StageAndStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(second.count() == 2 && computes == 1, "must resume, not recompute")
     val m = stage.metrics
     assert(m.where($"stage" === "s1").agg(sum($"rows_out")).as[Long].collect()(0) == 2)
-    assert(m.columns.toSet == Set("stage", "partition", "rows_out", "wall_ms"))
+    assert(m.columns.toSet ==
+      Set("stage", "partition", "rows_in", "rows_out", "bytes_removed", "wall_ms"))
+    // rows_in passthrough + bytes_removed derived from [s, e) snapshots
+    stage.run("s2", rowsIn = 7L)(Seq((1L, 10L, 25L), (2L, 0L, 4L)).toDF("k", "s", "e"))
+    val m2 = stage.metrics.where($"stage" === "s2")
+      .agg(sum($"bytes_removed"), max($"rows_in")).as[(Long, Long)].collect()(0)
+    assert(m2 == ((19L, 7L)))
   }
 
   test("streaming window counts equal batch on the same events") {
