@@ -151,10 +151,12 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // A1 + A4 + E1: hash-agg substring dedup -> coalesced remove ranges
-    // (differential sibling of a2's sort-scan plan; same oracle).
+    // A1 + A4 + E1: production remove-ranges plan (sort-scan keeper
+    // detection + byte verification of every candidate). Differential vs
+    // a2's bare hash-trusted sort-scan; the hash-aggregate plan is the
+    // third differential sibling, exercised in SubstringDedupSpec.
     "a1_remove_ranges" -> ((s, dir) =>
-      SubstringDedup.removeRangesHashAgg(docsWithDups(s, dir), SubstringDedup.Config(MinLen))),
+      SubstringDedup.removeRanges(docsWithDups(s, dir), SubstringDedup.Config(MinLen))),
 
     // A2 + F1: sort-scan substring dedup (differential plan, same oracle).
     "a2_remove_ranges_sortscan" -> ((s, dir) =>

@@ -91,15 +91,16 @@ object SubstringDedup {
     *
     * Single-scan shape: the 4-long window frame (~32 B/position) is
     * generated ONCE and persisted (memory, spilling to disk) -- the same
-    * footprint the sort-scan plan pays in shuffle files, and the same 8N..
-    * 32N order as the reference's suffix-array sidecar. It feeds (a) the
-    * h1-only duplicated-hash prefilter (8-byte keys, ~98% of windows are
-    * unique and drop out here), (b) the salted min/keeper aggregation over
-    * the surviving rows, and (c) the join-back that flags non-keepers.
-    * h1-level false positives (distinct windows sharing h1) are harmless:
-    * their (h1,h2) groups have a single member and drop out at the c>1
-    * filter. AQE turns the dup-hash join into a broadcast when the dup set
-    * is small (the common case), so the big side is never sorted.
+    * footprint the sort-scan plan pays in shuffle files, and the same
+    * order as the reference's 8N suffix-array sidecar. The cached frame
+    * feeds (a) an h1-only duplicated-hash prefilter (primitive-key hash
+    * agg, vectorized: ~98% of windows are unique and drop out here before
+    * the expensive struct-min ever sees them), (b) the salted min/keeper
+    * aggregation over the surviving rows (partial min per (h1,h2,salt)
+    * defeats viral-window skew), and (c) the join-back that flags
+    * non-keepers. h1-level false positives (distinct windows sharing h1)
+    * are harmless: their (h1,h2) groups have a single member and drop out
+    * at the c>1 filter. AQE broadcasts the small dup/keeper sides.
     */
   def removablePositions(docs: DataFrame, cfg: Config): DataFrame = {
     val win = windows(docs, cfg.minLen).persist(StorageLevel.MEMORY_AND_DISK)
@@ -107,10 +108,6 @@ object SubstringDedup {
       .groupBy("h1").agg(count(lit(1)).as("c")).where(col("c") > 1)
       .select("h1")
     val winDup = win.join(dupHashes, Seq("h1"))
-
-    // Two-phase salted min: partial min per (h1,h2,salt), then the tiny
-    // final agg per (h1,h2). Groups with a single member are dropped ASAP
-    // so the join-back's right side holds only *duplicated* windows.
     val salted = winDup.withColumn(
       "salt", pmod(hash(col("k"), col("pos")), lit(cfg.saltBuckets)))
     val partial = salted

@@ -50,7 +50,7 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
 
   def spark_(docs: Seq[(Long, String)]) = docs.toDF("k", "text")
 
-  test("hash-agg plan (verify on/off) and sort-scan plan match brute force") {
+  test("all three plans (default verify on/off, hash-agg, sort-scan) match brute force") {
     for (seed <- Seq(1, 2, 3)) {
       val docs = randomDocs(seed, 25, "abc") // tiny alphabet -> dense dup structure
       val expected = bruteRanges(docs, 6)
@@ -59,10 +59,16 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
         .as[(Long, Long, Long)].collect().toSet
       val gotNoVerify = SubstringDedup.removeRanges(df, SubstringDedup.Config(6, verifyBytes = false))
         .as[(Long, Long, Long)].collect().toSet
+      val gotHashAgg = SubstringDedup.removeRangesHashAgg(df, SubstringDedup.Config(6))
+        .as[(Long, Long, Long)].collect().toSet
+      val gotHashAggNoVerify = SubstringDedup.removeRangesHashAgg(df, SubstringDedup.Config(6, verifyBytes = false))
+        .as[(Long, Long, Long)].collect().toSet
       val gotSortScan = SubstringDedup.removeRangesSortScan(df, 6)
         .as[(Long, Long, Long)].collect().toSet
-      assert(got == expected, s"hash-agg seed=$seed")
+      assert(got == expected, s"default seed=$seed")
       assert(gotNoVerify == expected, s"no-verify seed=$seed")
+      assert(gotHashAgg == expected, s"hash-agg seed=$seed")
+      assert(gotHashAggNoVerify == expected, s"hash-agg-no-verify seed=$seed")
       assert(gotSortScan == expected, s"sort-scan seed=$seed")
     }
   }
