@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs the whole engine in one JVM: 32 concurrent tasks'
+  // sort/agg buffers + block-manager storage share this heap. 8g OOMs on
+  // the 200k-image bench shuffle (~9 GB window frame); the host has 126g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 ) ++ sys.env.get("EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").toSeq)

@@ -21,13 +21,18 @@ import graft.functions.{PolyHash, Utf8}
   * for shared minLen prefixes. A maximal same-prefix SA run IS the equality
   * class of positions with identical minLen-byte windows, so we skip the SA
   * entirely: key every position by a 122-bit rolling hash of its window
-  * (O(1)/byte, PolyHash), find each group's minimum (k,pos) with a salted
-  * two-phase aggregation (skew-safe: a viral boilerplate window never lands
-  * in a single reducer), and join back to flag non-minimum members.
-  * Duplicate groups are optionally re-verified against the actual window
-  * bytes (`verifyBytes`) so a hash collision can never remove a
-  * non-duplicate byte -- this re-extraction touches only positions inside
-  * duplicate groups, not the whole corpus.
+  * (O(1)/byte, PolyHash). Two physical plans compute the same groups:
+  *  - DEFAULT (removeRanges): hash-partition on the window hash, sort
+  *    within partitions, adjacent-run scan -- one window-generation pass,
+  *    one exchange; the literal distributed transcription of the
+  *    reference loop (h:417-472).
+  *  - DIFFERENTIAL (removeRangesHashAgg): salted two-phase min aggregation
+  *    (skew-safe: a viral boilerplate window never lands in a single
+  *    reducer) + join-back over a persisted window frame.
+  * Candidates are optionally re-verified against the actual window bytes
+  * (`verifyBytes`) so a hash collision can never remove a non-duplicate
+  * byte -- this re-extraction touches only positions inside duplicate
+  * groups, not the whole corpus.
   *
   * Scale notes (100 TB): window rows are 4 longs (~28 B/position) --
   * comparable to the reference's 8N suffix-array footprint -- and flow
