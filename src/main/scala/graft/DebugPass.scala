@@ -1,14 +1,17 @@
 package graft
+import org.apache.spark.sql.functions._
+import graft.operators.AnnCosine
 object DebugPass {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Bench.session(cpus)
-    SparkEntry.queries("q1_agg")(spark, sfDir).count() // warm
-    for (r <- 1 to 3; q <- Seq("a1_remove_ranges", "a2_remove_ranges_sortscan", "e4_kept_middle_hist", "a6_dup_ptrs")) {
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, sfDir).count()
-      System.err.println(f"[q] $q%-28s run$r ${(System.nanoTime()-t0)/1e9}%6.2f s rows=$n")
+    val spark = Bench.session("8")
+    val dir = "/root/testdata/sf0.01"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("vec"))
+    val c = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val brute = AnnCosine.bruteTopK(q, c, 10).select("qid","id","rn").collect().map(r=>(r.getLong(0),r.getLong(1),r.getInt(2))).toSet
+    for ((t, pb) <- Seq((8,10),(16,6),(24,6),(16,5))) {
+      val lsh = AnnCosine.lshTopK(q, c, 10, 64, t, pb).select("qid","id","rn").collect().map(r=>(r.getLong(0),r.getLong(1),r.getInt(2))).toSet
+      System.err.println(s"[ann] tables=$t bits=$pb equal=${lsh == brute} lsh=${lsh.size} inter=${(lsh & brute).size}")
     }
     spark.stop()
   }

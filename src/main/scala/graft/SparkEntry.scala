@@ -299,6 +299,20 @@ object SparkEntry {
         .select("qid", "id", "rn")
     }),
 
+    // ANN scale path: sign-LSH bucketed candidates + exact re-rank. No
+    // DuckDB oracle (floating-point sign bits are not portably
+    // reproducible in SQL, and synthetic random embeddings give LSH no
+    // recall-1 config) -> driver records the weaker rows-only check;
+    // recall vs bruteTopK is asserted in PipelineSpec.
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      AnnCosine.lshTopK(
+        emb.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        10, 64, tables = 16, planeBits = 5)
+        .select("qid", "id", "rn")
+    }),
+
     // windowed event aggregation (shared batch/streaming transform).
     "stream_window_counts" -> ((s, dir) =>
       graft.streaming.EventStream.windowCounts(s.read.parquet(s"$dir/events.parquet"))),

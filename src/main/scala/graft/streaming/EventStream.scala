@@ -38,4 +38,31 @@ object EventStream {
     windowCounts(
       spark.readStream.schema(schema).parquet(dir)
         .withWatermark("ts", "10 minutes"))
+
+  /** Streaming exact dedup on a content key: first occurrence of each key
+    * passes, later copies are dropped, with state bounded by the watermark
+    * (duplicates are only tracked while their event time is within the
+    * watermark window -- the streaming analogue of ExactDedup's
+    * first-occurrence keep for an ingest pipeline; state never grows
+    * unboundedly on a 10^12-row stream).
+    */
+  def streamingDedup(spark: SparkSession, dir: String,
+                     keyCols: Seq[String] = Seq("user_id", "event_type"),
+                     watermark: String = "10 minutes"): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Batch reference for streamingDedup on a static dir: first occurrence
+    * per key in event-time order (ties by event_id for determinism).
+    */
+  def batchDedup(events: DataFrame,
+                 keyCols: Seq[String] = Seq("user_id", "event_type")): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
 }

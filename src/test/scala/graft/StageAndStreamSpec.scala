@@ -29,6 +29,26 @@ class StageAndStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(m2 == ((19L, 7L)))
   }
 
+  test("streaming dedup keeps exactly one row per key, keys match batch") {
+    val src = Files.createTempDirectory("graft_sdedup").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(src)
+    val q = EventStream.streamingDedup(spark, src)
+      .writeStream.format("memory").queryName("sd")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamedKeys = spark.table("sd")
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val batchKeys = EventStream.batchDedup(events)
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    // one survivor per key; which physical row survives is processing-order
+    // dependent in streaming, so parity is on the key multiset
+    assert(streamedKeys.length == streamedKeys.distinct.length)
+    assert(streamedKeys.toSet == batchKeys.toSet)
+    assert(streamedKeys.length == batchKeys.length)
+  }
+
   test("streaming window counts equal batch on the same events") {
     val src = Files.createTempDirectory("graft_stream").toString
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
