@@ -62,6 +62,11 @@ object Writeback {
       it.foreach { case (p, _, js) =>
         if (p != cur) {
           finish()
+          // hard guard: Hadoop's Path(parent, child) RESOLVES an absolute
+          // or scheme-qualified child to itself, which would write outside
+          // outDir (over arbitrary files) -- reject non-relative paths.
+          require(!p.startsWith("/") && !p.contains(":") && !p.contains(".."),
+            s"writeback path must be a clean relative path, got: $p")
           cur = p; n = 0L
           val target = new Path(outDir, p + suffix)
           val raw = target.getFileSystem(conf).create(target, true)
