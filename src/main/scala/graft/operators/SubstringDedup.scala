@@ -246,6 +246,54 @@ object SubstringDedup {
       .withColumn("text_deduped",
         Utf8.removeMode(encode(col("text"), "UTF-8"), col("sa_remove_ranges")))
 
+  /** A9: index-order verification (reference verify_sa_correctness,
+    * h:914-930, driven by verify_sa.py). The reference checks that
+    * adjacent suffix-array ranks are non-decreasing under depth-`hack`
+    * compare; our index is the (h1,h2)-sorted window frame, and the two
+    * properties the dedup relies on are (a) the exchange+sort actually
+    * delivers non-decreasing keys within every partition and (b) every
+    * same-key run is byte-homogeneous (a 122-bit collision would merge
+    * distinct windows into one run). One row per violation with a reason;
+    * EMPTY OUTPUT = VERIFIED. Same cost shape as the dedup itself (full
+    * window sort carrying the window bytes) -- run on fixtures/samples.
+    */
+  def windowOrderViolations(docs: DataFrame, minLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("k").cast("long"), encode(col("text"), "UTF-8").as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (k, bytes) =>
+          val h1 = PolyHash.windowHashes(bytes, minLen, PolyHash.B1)
+          val h2 = PolyHash.windowHashes(bytes, minLen, PolyHash.B2)
+          Iterator.range(0, h1.length).map { i =>
+            (h1(i), h2(i), k, i.toLong,
+              java.util.Arrays.copyOfRange(bytes, i, i + minLen))
+          }
+        }
+      }
+      .toDF("h1", "h2", "k", "pos", "w")
+      .repartition(col("h1"), col("h2"))
+      .sortWithinPartitions("h1", "h2", "k", "pos")
+      .as[(Long, Long, Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        var ph1 = 0L; var ph2 = 0L; var pw: Array[Byte] = null; var first = true
+        it.flatMap { case (h1, h2, k, pos, w) =>
+          val out =
+            if (first) Nil
+            else if (h1 < ph1 || (h1 == ph1 && h2 < ph2))
+              Seq((k, pos, "sort_order"))
+            else if (h1 == ph1 && h2 == ph2 && !java.util.Arrays.equals(w, pw))
+              Seq((k, pos, "hash_collision"))
+            else Nil
+          ph1 = h1; ph2 = h2; pw = w; first = false
+          out
+        }
+      }
+      .toDF("k", "pos", "violation")
+  }
+
   /** Diagnostics (reference find_dup_ptrs, h:801-837): every member of a
     * duplicate group with dropped flag; the kept (first) one has
     * dropped=false.

@@ -73,6 +73,13 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("A9 index-order verification: sorted window frame has no violations") {
+    for (seed <- Seq(1, 4)) {
+      val docs = spark_(randomDocs(seed, 40, "ab")) // dense duplicate runs
+      assert(SubstringDedup.windowOrderViolations(docs, 6).count() == 0)
+    }
+  }
+
   test("multi-byte UTF-8: brute force agreement + annotate clips to char boundaries") {
     val docs = randomDocs(7, 20, "a日é😊b ")
     val minLen = 8
