@@ -128,6 +128,19 @@ object ImagesGen {
       }
       Img(spec.image_id, encode(px, "png"), W, H, "png",
         caption(seed ^ 0x1234, 12), aHash(px, W, H))
+    case "neg" =>
+      // high-similarity-but-below-threshold NEGATIVE (FIXTURES.md F1):
+      // shares ~60% of the base's words -> word-3-gram Jaccard ~0.43,
+      // under the 0.6 verification threshold; pixels/phash unrelated.
+      // Must NOT cluster with its base (precision probe).
+      val b = baseImg("", spec.baseIdx)
+      val seed = 0xce9aL * 1000003 + spec.baseIdx
+      val words0 = b.caption.split(" ")
+      val keep = (words0.length * 3) / 5
+      val cap = words0.take(keep).mkString(" ") + " " +
+        caption(seed, words0.length - keep)
+      val px = pixels(seed ^ 0xbeefL)
+      Img(spec.image_id, encode(px, "png"), W, H, "png", cap, aHash(px, W, H))
   }
 
   /** Spec list (cheap, no rendering) + golden must-cluster edges.
@@ -137,29 +150,34 @@ object ImagesGen {
     * for benchmarks -- the reference corpus arrives already MinHash-deduped,
     * README.md:17).
     */
-  def specs(nBase: Int, period: Int = 10): (Seq[Spec], Seq[(String, String)]) = {
+  def specs(nBase: Int, period: Int = 10): (Seq[Spec], Seq[(String, String)], Seq[(String, String)]) = {
     def id(i: Int) = f"img$i%08d"
     val out = Vector.newBuilder[Spec]
     val edges = Vector.newBuilder[(String, String)]
+    val negEdges = Vector.newBuilder[(String, String)]
     (0 until nBase).foreach(i => out += Spec(id(i), "base", i))
     var next = nBase
-    def plant(sel: Int, kind: String, edge: Boolean): Unit =
+    def plant(sel: Int, kind: String, edge: Boolean, neg: Boolean = false): Unit =
       (0 until nBase).filter(_ % period == sel).foreach { i =>
         out += Spec(id(next), kind, i)
         if (edge) edges += ((id(i), id(next)))
+        if (neg) negEdges += ((id(i), id(next)))
         next += 1
       }
     plant(0, "exact", edge = true)
     plant(1, "near", edge = true)
     plant(2, "substr", edge = false)
     plant(3, "pixel", edge = true)
-    (out.result(), edges.result())
+    plant(4, "neg", edge = false, neg = true)
+    (out.result(), edges.result(), negEdges.result())
   }
 
-  /** Driver-side generation (tests, <= a few hundred rows). */
-  def generate(nBase: Int, minLen: Int = 32, period: Int = 10): (Seq[Img], Seq[(String, String)]) = {
-    val (sp, edges) = specs(nBase, period)
-    (sp.map(render(_, minLen)), edges)
+  /** Driver-side generation (tests, <= a few hundred rows). Returns
+    * (rows, must-cluster edges, must-NOT-cluster negative pairs).
+    */
+  def generate(nBase: Int, minLen: Int = 32, period: Int = 10): (Seq[Img], Seq[(String, String)], Seq[(String, String)]) = {
+    val (sp, edges, negEdges) = specs(nBase, period)
+    (sp.map(render(_, minLen)), edges, negEdges)
   }
 
   def toDf(spark: SparkSession, rows: Seq[Img]): DataFrame = {
@@ -173,7 +191,7 @@ object ImagesGen {
   def generateDf(spark: SparkSession, nBase: Int, minLen: Int = 32,
                  partitions: Int = 32, period: Int = 10): DataFrame = {
     import spark.implicits._
-    val (sp, _) = specs(nBase, period)
+    val (sp, _, _) = specs(nBase, period)
     spark.createDataset(sp).repartition(partitions)
       .mapPartitions(_.map(render(_, minLen)))
       .toDF()

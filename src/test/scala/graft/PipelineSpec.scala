@@ -11,16 +11,21 @@ import graft.sources.ImagesGen
 class PipelineSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
-  private lazy val (rows, goldenEdges) = ImagesGen.generate(60)
+  private lazy val (rows, goldenEdges, negEdges) = ImagesGen.generate(60)
   private lazy val images = ImagesGen.toDf(spark, rows).cache()
 
-  test("pipeline clusters achieve dup-pair recall >= 0.99 on planted edges") {
+  test("pipeline clusters: recall >= 0.99 on planted edges, negatives stay apart") {
     val res = DedupPipeline.run(spark, images, DedupPipeline.Config())
     val clusters = res.clusters.as[(String, String)].collect().toMap
     assert(goldenEdges.nonEmpty)
     val hit = goldenEdges.count { case (a, b) => clusters(a) == clusters(b) }
     val recall = hit.toDouble / goldenEdges.size
     assert(recall >= 0.99, s"recall=$recall (${goldenEdges.size} golden edges)")
+    // precision probe: below-threshold near-miss pairs (word Jaccard ~0.43
+    // < 0.6, unrelated pixels) must NOT share a cluster
+    assert(negEdges.nonEmpty)
+    val falseMerges = negEdges.filter { case (a, b) => clusters(a) == clusters(b) }
+    assert(falseMerges.isEmpty, s"negatives clustered: $falseMerges")
     // cluster_id is a member of its own cluster (min-member labeling)
     val ids = clusters.keySet
     assert(clusters.values.forall(ids.contains))
