@@ -85,6 +85,27 @@ object Bench {
     PipeStats(n, (System.nanoTime() - t0) / 1e9, corpusBytes)
   }
 
+  /** Like-for-like reference workflow benchmark: JSONL tree in ->
+    * substring dedup (annotate, minLen=500, the reference's production
+    * config, aws_workflow.sh:2) -> mirrored gzip JSONL tree out. This is
+    * the workflow behind the reference's ~46 MB/s single-box capacity
+    * (README.md:6-7), so MB/s here compares directly; the images pipeline
+    * number above additionally pays for MinHash/LSH + pHash + CC stages
+    * the reference does not run.
+    */
+  def jsonlPass(spark: SparkSession, base: String, nDocs: Int): (Long, Double, Long) = {
+    val inDir = s"$base/jsonl-in-$nDocs"
+    val bytes = graft.sources.JsonlGen.writeTree(spark, inDir, nDocs)
+    val outDir = s"$base/jsonl-out-$nDocs"
+    val t0 = System.nanoTime()
+    val res = JsonlDedupJob.run(spark, inDir, outDir, minLen = 500,
+      mode = "annotate", compression = "gzip")
+    val nFiles = res.written.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(nFiles > 0, "jsonl writeback produced no files")
+    (bytes, sec, nFiles)
+  }
+
   private def freshSession(cpus: String): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -175,6 +196,11 @@ object Bench {
 
     val pipe = pipelinePass(spark, fixtureBase, nBase)
     System.err.println(f"[bench] pipeline: ${pipe.nImages} images (${pipe.corpusBytes / 1e6}%.1f MB) in ${pipe.sec}%.2f s = ${pipe.imagesPerSec}%.0f images/s = ${pipe.mbPerSec}%.2f MB/s")
+
+    val nJsonlDocs = sys.env.getOrElse("SPARK_GRAFT_JSONL_DOCS", "80000").toInt
+    val (jBytes, jSec, jFiles) = jsonlPass(spark, "/dev/shm/graft-fixtures", nJsonlDocs)
+    val jMbs = jBytes / 1e6 / jSec
+    System.err.println(f"[bench] jsonl workflow: ${jBytes / 1e6}%.1f MB text, $jFiles files, ${jSec}%.2f s = $jMbs%.2f MB/s (reference single-box: ~46 MB/s on 128 threads)")
     spark.stop()
 
     val (_, scalingJson) = scalingPass(fixtureBase, nScaling, scalingRounds, Seq("2", "8", "32"))
@@ -188,7 +214,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = timed.map(_._2).sum + pipe.sec
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":${errors.size},"errors":$errJson,"images_per_sec":${pipe.imagesPerSec},"n_images":${pipe.nImages},"corpus_mb":${pipe.corpusBytes / 1e6},"mb_per_sec":${pipe.mbPerSec},"scaling":$scalingJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":${errors.size},"errors":$errJson,"images_per_sec":${pipe.imagesPerSec},"n_images":${pipe.nImages},"corpus_mb":${pipe.corpusBytes / 1e6},"mb_per_sec":${pipe.mbPerSec},"jsonl_workflow":{"text_mb":${jBytes / 1e6},"sec":$jSec,"mb_per_sec":$jMbs,"minlen":500,"mode":"annotate"},"scaling":$scalingJson}"""
     println(json)
     val out = java.nio.file.Paths.get("/root/repo/target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)

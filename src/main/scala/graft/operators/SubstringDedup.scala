@@ -73,21 +73,40 @@ object SubstringDedup {
 
   /** Byte-verify candidate pairs: re-extract the actual window bytes for
     * both sides of each (k,pos) -> (keep_k,keep_pos) candidate and demand
-    * byte equality -- collision-proof, and linear in the number of
-    * *duplicate* positions only (candidates are a tiny fraction of the
-    * corpus, so AQE flips both joins to broadcast in the common case).
+    * equality of their sha2-256 digests -- the same exactness standard
+    * ExactDedup applies to whole documents, and linear in the number of
+    * *duplicate* positions only.
+    *
+    * Shuffle shape: every referenced window is extracted ONCE (the
+    * distinct union of both pair sides) and immediately reduced to a
+    * 32-byte digest map-side, so joins carry digests, never raw windows.
+    * The naive form (join docs twice, compare raw windows) shuffles
+    * ~minLen bytes per candidate -- at the reference's production
+    * minLen=500 that measured 61 s of a 110 s job; the digest form is
+    * ~1/12 of the bytes.
     */
   private def verifyCandidates(docs: DataFrame, candidates: DataFrame, minLen: Int): DataFrame = {
+    // candidates fan out three ways (both `need` branches + the pair
+    // join); without pinning, each consumer re-runs the full window
+    // sort that produced them. The candidate set is duplicates-only and
+    // tiny relative to the corpus.
+    val cand = candidates.persist(StorageLevel.MEMORY_AND_DISK)
     val bytesDf = docs.select(
       col("k").cast("long").as("vk"),
       encode(col("text"), "UTF-8").as("vb"))
-    candidates
-      .join(bytesDf, col("k") === col("vk"))
-      .withColumn("w_self", expr(s"substring(vb, pos + 1, $minLen)"))
-      .drop("vk", "vb")
-      .join(bytesDf, col("keep_k") === col("vk"))
-      .withColumn("w_keep", expr(s"substring(vb, keep_pos + 1, $minLen)"))
-      .where(col("w_self") === col("w_keep"))
+    val need = cand.select(col("k").as("vk"), col("pos").as("vpos"))
+      .unionAll(cand.select(col("keep_k").as("vk"), col("keep_pos").as("vpos")))
+      .distinct()
+    val wtab = bytesDf.join(need, Seq("vk"))
+      .select(col("vk"), col("vpos"),
+        sha2(expr(s"substring(vb, vpos + 1, $minLen)"), 256).as("wd"))
+    cand
+      .join(wtab.select(col("vk"), col("vpos"), col("wd").as("wd_self")),
+        col("k") === col("vk") && col("pos") === col("vpos"))
+      .drop("vk", "vpos")
+      .join(wtab.select(col("vk"), col("vpos"), col("wd").as("wd_keep")),
+        col("keep_k") === col("vk") && col("keep_pos") === col("vpos"))
+      .where(col("wd_self") === col("wd_keep"))
       .select("k", "pos")
   }
 
@@ -316,15 +335,18 @@ object SubstringDedup {
         .withColumn("rn", row_number().over(byWindow))
         .select(col("k"), col("pos"), (col("rn") > 1).as("dropped"))
     } else {
+      // group on the sha2-256 digest of the actual window (byte-equality
+      // standard); digests are 32 B regardless of minLen, so the window
+      // shuffle stays flat when minLen is large
       val bytesDf = docs.select(
         col("k").cast("long").as("vk"),
         encode(col("text"), "UTF-8").as("vb"))
-      val withBytes = hashDups
+      val withDigest = hashDups
         .join(bytesDf, col("k") === col("vk"))
         .select(col("k"), col("pos"),
-          expr(s"substring(vb, pos + 1, ${cfg.minLen})").as("w"))
+          sha2(expr(s"substring(vb, pos + 1, ${cfg.minLen})"), 256).as("w"))
       val byW = Window.partitionBy("w").orderBy("k", "pos")
-      withBytes
+      withDigest
         .withColumn("rn", row_number().over(byW))
         .withColumn("c2", count(lit(1)).over(Window.partitionBy("w")))
         .where(col("c2") > 1)
