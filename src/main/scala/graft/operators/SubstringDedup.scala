@@ -77,35 +77,27 @@ object SubstringDedup {
     * ExactDedup applies to whole documents, and linear in the number of
     * *duplicate* positions only.
     *
-    * Shuffle shape: every referenced window is extracted ONCE (the
-    * distinct union of both pair sides) and immediately reduced to a
-    * 32-byte digest map-side, so joins carry digests, never raw windows.
-    * The naive form (join docs twice, compare raw windows) shuffles
-    * ~minLen bytes per candidate -- at the reference's production
-    * minLen=500 that measured 61 s of a 110 s job; the digest form is
-    * ~1/12 of the bytes.
+    * Shuffle shape: a single linear two-join chain; each extracted window
+    * is reduced to its 32-byte digest IN the join projection, so nothing
+    * downstream ever carries raw windows. (Carrying raw minLen-byte
+    * windows between the joins shuffled ~1 KB per candidate at the
+    * reference's production minLen=500 and measured 61 s of a 110 s job;
+    * a distinct-position pre-extraction table was tried and was WORSE at
+    * small minLen -- it adds a union+distinct and two extra joins over
+    * millions of rows.)
     */
   private def verifyCandidates(docs: DataFrame, candidates: DataFrame, minLen: Int): DataFrame = {
-    // candidates fan out three ways (both `need` branches + the pair
-    // join); without pinning, each consumer re-runs the full window
-    // sort that produced them. The candidate set is duplicates-only and
-    // tiny relative to the corpus.
-    val cand = candidates.persist(StorageLevel.MEMORY_AND_DISK)
     val bytesDf = docs.select(
       col("k").cast("long").as("vk"),
       encode(col("text"), "UTF-8").as("vb"))
-    val need = cand.select(col("k").as("vk"), col("pos").as("vpos"))
-      .unionAll(cand.select(col("keep_k").as("vk"), col("keep_pos").as("vpos")))
-      .distinct()
-    val wtab = bytesDf.join(need, Seq("vk"))
-      .select(col("vk"), col("vpos"),
-        sha2(expr(s"substring(vb, vpos + 1, $minLen)"), 256).as("wd"))
-    cand
-      .join(wtab.select(col("vk"), col("vpos"), col("wd").as("wd_self")),
-        col("k") === col("vk") && col("pos") === col("vpos"))
-      .drop("vk", "vpos")
-      .join(wtab.select(col("vk"), col("vpos"), col("wd").as("wd_keep")),
-        col("keep_k") === col("vk") && col("keep_pos") === col("vpos"))
+    candidates
+      .join(bytesDf, col("k") === col("vk"))
+      .withColumn("wd_self",
+        sha2(expr(s"substring(vb, pos + 1, $minLen)"), 256))
+      .drop("vk", "vb")
+      .join(bytesDf, col("keep_k") === col("vk"))
+      .withColumn("wd_keep",
+        sha2(expr(s"substring(vb, keep_pos + 1, $minLen)"), 256))
       .where(col("wd_self") === col("wd_keep"))
       .select("k", "pos")
   }
