@@ -87,6 +87,18 @@ class WritebackSpec extends AnyFunSuite with SparkTestBase {
     m.get.group(1).toLong
   }
 
+  test("writeback rejects absolute / scheme-qualified / traversal paths") {
+    val out = Files.createTempDirectory("graft_wb_guard").toString
+    for (bad <- Seq("/etc/x.jsonl", "file:///tmp/x.jsonl", "a/../../x.jsonl")) {
+      val docs = Seq((bad, 0L, "t")).toDF("path", "linenum", "text")
+      val e = intercept[org.apache.spark.SparkException] {
+        Writeback.jsonlTree(docs, out, compression = "none").collect()
+      }
+      assert(e.getMessage.contains("relative path") ||
+        Option(e.getCause).exists(_.getMessage.contains("relative path")), s"for $bad")
+    }
+  }
+
   test("remove_ranges LE compat writer matches hand-built golden bytes") {
     // three docs; doc starts at 1 + sum(1 + len_j) for j < k
     val docs = Seq(
