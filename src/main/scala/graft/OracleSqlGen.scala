@@ -146,6 +146,47 @@ object OracleSqlGen {
        |SELECT k, ${signed("s64")} AS simhash FROM outv""".stripMargin
   }
 
+  /** Oracle for AnnCosine.lshTopKInt over integer-valued vectors derived
+    * deterministically from vec_id: component j of vector id is
+    * floorMod(mix64(id*131 + j), 17) - 8, and the hyperplanes are
+    * AnnCosine.intPlaneVal's [-3,3] integers (inlined as literals -- they
+    * are compile-time constants of (tables, planeBits, dim)). Every bucket
+    * bit is the sign of an exact integer dot product and the re-rank
+    * cosine divides an exact integer dot by a product of correctly-rounded
+    * sqrts, so both engines produce bit-identical orderings.
+    */
+  def annLshTopKSql(nQueries: Int, dim: Int, tables: Int, planeBits: Int,
+                    k: Int): String = {
+    val planeRows = (for {
+      t <- 0 until tables; p <- 0 until planeBits; j <- 0 until dim
+    } yield s"($t, $p, $j, ${graft.operators.AnnCosine.intPlaneVal(t, p, j)})")
+      .mkString(", ")
+    s"""WITH ids AS (SELECT CAST(vec_id AS BIGINT) AS id FROM embeddings),
+       |cz AS (SELECT id, j, ((id * 131 + j))::HUGEINT AS z0
+       |       FROM ids CROSS JOIN (SELECT unnest(generate_series(0, ${dim - 1})) AS j)),
+       |${mixCtes("cz", "z0", "m", "cm")},
+       |comp AS (SELECT id, j, ((((${signed("m")}) % 17) + 17) % 17 - 8) AS v FROM cm3),
+       |planes(t, p, j, w) AS (VALUES $planeRows),
+       |dots AS (SELECT c.id, pl.t, pl.p, sum(c.v * pl.w) AS d
+       |         FROM comp c JOIN planes pl ON pl.j = c.j GROUP BY c.id, pl.t, pl.p),
+       |buckets AS (SELECT id, t,
+       |              CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+       |            FROM dots GROUP BY id, t),
+       |cand AS (SELECT DISTINCT q.id AS qid, c.id AS id
+       |         FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket AND q.id <> c.id
+       |         WHERE q.id < $nQueries),
+       |norms AS (SELECT id, sum(v * v) AS n2 FROM comp GROUP BY id),
+       |pd AS (SELECT cd.qid, cd.id, sum(a.v * b.v) AS d
+       |       FROM cand cd JOIN comp a ON a.id = cd.qid
+       |       JOIN comp b ON b.id = cd.id AND b.j = a.j
+       |       GROUP BY cd.qid, cd.id),
+       |sims AS (SELECT pd.qid, pd.id,
+       |           CAST(pd.d AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS sim
+       |         FROM pd JOIN norms nq ON nq.id = pd.qid JOIN norms nc ON nc.id = pd.id)
+       |SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS INT) AS rn
+       |FROM sims QUALIFY rn <= $k""".stripMargin
+  }
+
   /** Sanity self-check used by tests: mix64 in Scala == reference. */
   def mix64Ref(z: Long): Long = PolyHash.mix64(z)
 }

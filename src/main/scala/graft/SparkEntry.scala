@@ -115,6 +115,25 @@ object SparkEntry {
       .where(col("doc_id") % 10 < 3)
       .select(col("doc_id").cast("long").as("a"), (col("doc_id") + 1).cast("long").as("b"))
 
+  /** Integer-valued vectors derived deterministically from vec_id:
+    * component j = floorMod(mix64(id*131 + j), 17) - 8 (as doubles).
+    * Integer dot products are exact in IEEE doubles AND in DuckDB BIGINT
+    * arithmetic, which makes the ANN-LSH path fully oracle-checkable
+    * (OracleSqlGen.annLshTopKSql reimplements this derivation).
+    */
+  val AnnDim = 16
+  val AnnTables = 4
+  val AnnPlaneBits = 4
+
+  private def intVecs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("id")).as[Long]
+      .map(id => (id, Array.tabulate(AnnDim)(j =>
+        (Math.floorMod(graft.functions.PolyHash.mix64(id * 131L + j), 17) - 8).toDouble)))
+      .toDF("id", "vec")
+  }
+
   // ---- substring-dedup oracle SQL (naive transcription) ----
 
   private def removeRangesOracle(docsSql: String): String =
@@ -299,19 +318,36 @@ object SparkEntry {
         .select("qid", "id", "rn")
     }),
 
-    // ANN scale path: sign-LSH bucketed candidates + exact re-rank. No
-    // DuckDB oracle (floating-point sign bits are not portably
-    // reproducible in SQL, and synthetic random embeddings give LSH no
-    // recall-1 config) -> driver records the weaker rows-only check;
-    // recall vs bruteTopK is asserted in PipelineSpec.
+    // ANN scale path: sign-LSH bucketed candidates + exact re-rank, over
+    // integer-valued vectors derived from vec_id with integer hyperplanes
+    // so every sign bit and every re-rank comparison is exactly
+    // reproducible in DuckDB -> full rows+schema+hash oracle (round-2
+    // verdict item 3). Recall of the float-plane path vs bruteTopK on the
+    // real embeddings is asserted in PipelineSpec.
     "ann_lsh_topk" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      AnnCosine.lshTopK(
-        emb.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("vec")),
-        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
-        10, 64, tables = 16, planeBits = 5)
+      val vecs = intVecs(s, dir)
+      AnnCosine.lshTopKInt(
+        vecs.where(col("id") < 5).select(col("id").as("qid"), col("vec")),
+        vecs.select(col("id"), col("vec")),
+        10, AnnDim, tables = AnnTables, planeBits = AnnPlaneBits)
         .select("qid", "id", "rn")
     }),
+
+    // A9: index-order verification -- non-decreasing keys within every
+    // sorted partition + byte homogeneity of every same-key run. The
+    // operator's CONTRACT is an empty result (reference
+    // verify_sa_correctness, cpp_engine_dedup.h:914-930); the oracle is
+    // the empty set with the same schema.
+    "a9_order_violations" -> ((s, dir) =>
+      SubstringDedup.windowOrderViolations(docsWithDups(s, dir), MinLen)),
+
+    // D9 differential: the distributed large-star/small-star path itself
+    // (threshold 0 disables the small-graph driver union-find shortcut),
+    // against the same recursive-SQL oracle.
+    "d9_cc_distributed" -> ((s, dir) =>
+      ConnectedComponents.assign(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id").as("id")),
+        chainEdges(s, dir), smallGraphThreshold = 0L)),
 
     // windowed event aggregation (shared batch/streaming transform).
     "stream_window_counts" -> ((s, dir) =>
@@ -536,6 +572,28 @@ object SparkEntry {
          |)
          |SELECT CAST(length(bin(len)) - 1 AS BIGINT) AS bucket, count(*) AS cnt
          |FROM mids WHERE len IS NOT NULL AND len > 0 GROUP BY 1""".stripMargin,
+
+    "ann_lsh_topk" ->
+      OracleSqlGen.annLshTopKSql(5, AnnDim, AnnTables, AnnPlaneBits, 10),
+
+    "a9_order_violations" ->
+      """SELECT CAST(NULL AS BIGINT) AS k, CAST(NULL AS BIGINT) AS pos,
+        |       CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+
+    "d9_cc_distributed" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id + 1 AS BIGINT) AS b
+        |  FROM documents WHERE doc_id % 10 < 3
+        |),
+        |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        |nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |walk AS (
+        |  SELECT id AS src, id AS reach FROM nodes
+        |  UNION
+        |  SELECT w.src, e.b FROM walk w JOIN sym e ON w.reach = e.a
+        |)
+        |SELECT src AS id, min(reach) AS comp FROM walk GROUP BY src""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),

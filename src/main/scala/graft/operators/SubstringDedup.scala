@@ -141,8 +141,16 @@ object SubstringDedup {
       .select(col("k"), col("pos"),
         col("keeper.k").as("keep_k"), col("keeper.pos").as("keep_pos"))
 
-    if (!cfg.verifyBytes) candidates.select("k", "pos")
-    else verifyCandidates(docs, candidates, cfg.minLen)
+    // pin the (small: duplicate positions only) candidate set eagerly so
+    // the multi-GB window frame can be unpersisted HERE instead of
+    // accumulating in the block manager across invocations (the
+    // round-2-advice leak); both consumers of the frame are upstream of
+    // this point.
+    val pinned = candidates.localCheckpoint(true)
+    win.unpersist(false)
+
+    if (!cfg.verifyBytes) pinned.select("k", "pos")
+    else verifyCandidates(docs, pinned, cfg.minLen)
   }
 
   /** A2 transcription: sort-based removable positions. Range-partition by

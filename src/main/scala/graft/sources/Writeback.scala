@@ -17,9 +17,16 @@ import org.apache.spark.sql.functions._
   * one task (the reference's worker-per-shard fan-out, :113-118);
   * `sortWithinPartitions(path, linenum)` restores original line order
   * (the reference streams docs by index); the partition writer switches
-  * output files on path change -- each file is written exactly once by
-  * exactly one task, so the sink is idempotent per task attempt and safe
-  * under task retries (last attempt wins via overwrite=true).
+  * output files on path change.
+  *
+  * Commit protocol: each file is streamed to a task-attempt-unique
+  * `<final>.<attempt>.inprogress` temp name and RENAMED onto the final
+  * path only when its last row has been written. Rename is atomic on
+  * HDFS/local, so a zombie attempt racing its retry (speculation, or a
+  * task left running after a fetch-failure stage retry) can never
+  * interleave bytes into a final file, and a killed run leaves only
+  * `.inprogress` litter, never a truncated file under a final name --
+  * last completed attempt wins.
   */
 object Writeback {
 
@@ -52,12 +59,23 @@ object Writeback {
       // Executor-side Hadoop conf: default-configured (core-site from the
       // classpath), which covers local FS and default HDFS/s3a deployments.
       val conf = new Configuration()
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(tc => tc.taskAttemptId().toString).getOrElse("local")
       val written = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       var cur: String = null
       var os: java.io.OutputStream = null
+      var tmp: Path = null
+      var target: Path = null
       var n = 0L
       def finish(): Unit = if (os != null) {
-        os.close(); os = null; written += ((cur, n))
+        os.close(); os = null
+        // commit: atomic rename of the completed temp onto the final name
+        // (delete-then-rename; the delete only ever removes a PREVIOUS
+        // completed attempt's file, never a file being written)
+        val fs = target.getFileSystem(conf)
+        fs.delete(target, false)
+        require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
+        written += ((cur, n))
       }
       it.foreach { case (p, _, js) =>
         if (p != cur) {
@@ -68,8 +86,9 @@ object Writeback {
           require(!p.startsWith("/") && !p.contains(":") && !p.contains(".."),
             s"writeback path must be a clean relative path, got: $p")
           cur = p; n = 0L
-          val target = new Path(outDir, p + suffix)
-          val raw = target.getFileSystem(conf).create(target, true)
+          target = new Path(outDir, p + suffix)
+          tmp = new Path(outDir, p + suffix + s".$attempt.inprogress")
+          val raw = tmp.getFileSystem(conf).create(tmp, true)
           os = compression match {
             case "gzip" => new java.util.zip.GZIPOutputStream(raw)
             case "zstd" => new com.github.luben.zstd.ZstdOutputStream(raw)

@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   * mirrored JSONL tree out, both modes, with the reference's own checks
   * (line-count equality per file, verify_zst.py:20-43; non-dup docs
   * byte-identical; metadata passthrough).
+  *
+  * File order follows the reference's sort key -- the relative path with
+  * "crawl=" stripped (indexing_v6_sharded.py:179) -- so "crawl=a/part0"
+  * orders as "a/part0", BEFORE "b/part1": the crawl=a copy is the one
+  * kept and b/part1's copy is the one annotated/cut.
   */
 class JsonlDedupJobSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
@@ -19,6 +24,13 @@ class JsonlDedupJobSpec extends AnyFunSuite with SparkTestBase {
   private def writeGz(p: Path, lines: Seq[String]): Unit = {
     Files.createDirectories(p.getParent)
     val os = new GZIPOutputStream(Files.newOutputStream(p))
+    os.write(lines.map(_ + "\n").mkString.getBytes(StandardCharsets.UTF_8))
+    os.close()
+  }
+
+  private def writeZst(p: Path, lines: Seq[String]): Unit = {
+    Files.createDirectories(p.getParent)
+    val os = new com.github.luben.zstd.ZstdOutputStream(Files.newOutputStream(p))
     os.write(lines.map(_ + "\n").mkString.getBytes(StandardCharsets.UTF_8))
     os.close()
   }
@@ -53,11 +65,11 @@ class JsonlDedupJobSpec extends AnyFunSuite with SparkTestBase {
     assert(back.count() == 4)
     // metadata passthrough, all docs present
     assert(back.select("meta").as[String].collect().toSet == Set("m0", "m1", "m2", "m3"))
-    // only the later copy (file b sorts after crawl=a? no -- "b/..." < "crawl=a/...",
-    // so the b/part1 copy is FIRST in (path, linenum) order and crawl=a's is annotated)
+    // reference order strips "crawl=": crawl=a/part0 -> "a/part0" sorts
+    // FIRST, so its copy is kept and b/part1's (m2) is the annotated one
     val annotated = back.where(size(col("sa_remove_ranges")) > 0)
       .select("meta").as[String].collect().toSet
-    assert(annotated == Set("m0"), s"got $annotated")
+    assert(annotated == Set("m2"), s"got $annotated")
   }
 
   test("remove mode: duplicated span cut, non-dup docs byte-identical, counts preserved") {
@@ -69,13 +81,62 @@ class JsonlDedupJobSpec extends AnyFunSuite with SparkTestBase {
     val back = spark.read.option("recursiveFileLookup", "true").json(out)
       .select("meta", "text").as[(String, String)].collect().toMap
     assert(back.size == 4)
-    // first occurrence (b/part1 line 0 in path order) intact
-    assert(back("m2") == s"a later copy $run appears again")
+    // first occurrence in reference order (crawl=a/part0 line 0) intact
+    assert(back("m0") == s"the original $run lives here first")
     // non-dup docs byte-identical
     assert(back("m1") == "totally unrelated content with no duplicate run")
     assert(back("m3") == "short")
     // the later copy lost (at least) the shared run
-    assert(!back("m0").contains(run))
-    assert(back("m0").length < s"the original $run lives here first".length)
+    assert(!back("m2").contains(run))
+    assert(back("m2").length < s"a later copy $run appears again".length)
+  }
+
+  test("readTree streams: many-line gz + zst files, exact linenums across blank lines, no whole-file rows") {
+    val root = Files.createTempDirectory("graft_jsonl_stream")
+    // 5000 lines with a blank every 7th: linenum must count PHYSICAL lines
+    val lines = (0 until 5000).map { i =>
+      if (i % 7 == 3) "" else s"""{"text": "doc body number $i with some padding text", "id": $i}"""
+    }
+    writeGz(root.resolve("big.jsonl.gz"), lines)
+    writeZst(root.resolve("z/extra.jsonl.zst"), Seq(
+      """{"text": "zstd doc one", "id": 90001}""",
+      """{"text": "zstd doc two", "id": 90002}"""))
+    val df = JsonlDedupJob.readTree(spark, root.toString)
+    val got = df.select("path", "linenum", "id").as[(String, Long, Long)].collect()
+    val big = got.filter(_._1 == "big.jsonl.gz")
+    assert(big.length == lines.count(_.nonEmpty))
+    // each doc's linenum equals its physical 0-based line index
+    val byId = big.map(r => r._3 -> r._2).toMap
+    assert(byId(0L) == 0L && byId(2L) == 2L)
+    assert(!byId.contains(3L) && byId(4L) == 4L, "blank line must advance linenum")
+    assert(byId(4999L) == 4999L)
+    // zst file parsed, k carries the file index in the high bits
+    val ks = df.where(col("path").startsWith("z/")).select("k").as[Long].collect()
+    assert(ks.length == 2)
+    assert(ks.forall(_ >= (1L << JsonlDedupJob.LinenumBits)), "second file's k must rank after the first file's")
+  }
+
+  test("readTree fails fast with path:linenum on a missing text field") {
+    val root = Files.createTempDirectory("graft_jsonl_bad")
+    writePlain(root.resolve("ok.jsonl"), Seq("""{"text": "fine", "meta": "x"}"""))
+    writePlain(root.resolve("zz_bad.jsonl"), Seq(
+      """{"text": "fine too", "meta": "y"}""",
+      """{"meta": "no text field here"}"""))
+    val e = intercept[Exception] {
+      JsonlDedupJob.readTree(spark, root.toString).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("zz_bad.jsonl:1")),
+      s"error should name the offending path:linenum, got: ${msgs(e)}")
+  }
+
+  test("listTree orders by the reference key (crawl= stripped)") {
+    val root = Files.createTempDirectory("graft_jsonl_order")
+    for (p <- Seq("crawl=b/x.jsonl", "a0/y.jsonl", "crawl=a1/z.jsonl", "b1/w.jsonl"))
+      writePlain(root.resolve(p), Seq("""{"text": "t"}"""))
+    val got = JsonlDedupJob.listTree(spark, root.toString)
+    // keys: a0/y.jsonl, a1/z.jsonl, b/x.jsonl, b1/w.jsonl ("/" < "1")
+    assert(got == Seq("a0/y.jsonl", "crawl=a1/z.jsonl", "crawl=b/x.jsonl", "b1/w.jsonl"))
   }
 }

@@ -99,6 +99,30 @@ class WritebackSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("writeback commit protocol: no .inprogress litter, re-runs replace completed files, stale temps are inert") {
+    val out = Files.createTempDirectory("graft_wb_commit").toString
+    // a stale temp from a "zombie attempt" that died mid-write
+    val staleDir = Paths.get(out, "b")
+    Files.createDirectories(staleDir)
+    Files.writeString(staleDir.resolve("part1.jsonl.999.inprogress"), "half a li")
+
+    val first = Seq(("b/part1.jsonl", 0L, "first run content")).toDF("path", "linenum", "text")
+    Writeback.jsonlTree(first, out, compression = "none").collect()
+    val finalFile = staleDir.resolve("part1.jsonl")
+    assert(Files.readString(finalFile).contains("first run content"))
+
+    // second run (task retry / job re-run) atomically replaces the file
+    val second = Seq(("b/part1.jsonl", 0L, "second run content")).toDF("path", "linenum", "text")
+    Writeback.jsonlTree(second, out, compression = "none").collect()
+    val content = Files.readString(finalFile)
+    assert(content.contains("second run content") && !content.contains("first run"))
+
+    // completed attempts leave no .inprogress files of their own; the
+    // zombie's stale temp never reached a final name
+    val litter = Files.list(staleDir).toArray.map(_.toString).filter(_.contains(".inprogress"))
+    assert(litter.forall(_.contains(".999.")), s"unexpected litter: ${litter.toSeq}")
+  }
+
   test("remove_ranges LE compat writer matches hand-built golden bytes") {
     // three docs; doc starts at 1 + sum(1 + len_j) for j < k
     val docs = Seq(
