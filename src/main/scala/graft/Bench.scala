@@ -112,6 +112,31 @@ object Bench {
     session(cpus)
   }
 
+  /** 1-minute load average from /proc/loadavg -- the gate signal for
+    * measured windows on this shared host.
+    */
+  def load1(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
+  /** Wait (bounded) for the host to go quiet before a measured run: the
+    * sandbox shares one 32-core socket with a noisy neighbor (observed
+    * load 2-28, identical stages 1.3 s vs 21 s run-to-run), and a run
+    * started into a load spike is garbage. Bounded by maxWaitSec so the
+    * bench always completes; min-of-N across interleaved rounds absorbs
+    * whatever residual noise gets through. Returns the load at release.
+    */
+  def awaitQuiet(threshold: Double = 6.0, maxWaitSec: Int = 120): Double = {
+    val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+    var l = load1()
+    while (l > threshold && System.nanoTime() < deadline) {
+      Thread.sleep(5000)
+      l = load1()
+    }
+    l
+  }
+
   /** Interleaved scaling measurement (BASELINE.md: efficiency >= 0.8
     * between N and 4N parallelism; sandboxed as local[N] vs local[4N] on
     * identical input -- no real cluster here). Levels are interleaved and
@@ -130,6 +155,7 @@ object Bench {
   def scalingPass(fixtureBase: String, nBase: Int, rounds: Int,
                   levels: Seq[String]): (Double, String) = {
     val times = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    val loads = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     var n = 0L
     for (r <- 1 to rounds; cpus <- levels) {
       val spark = freshSession(cpus)
@@ -137,10 +163,14 @@ object Bench {
         // untimed small pass: pays the fresh session's JIT/codegen/broadcast
         // warmup (~8-10 s, identical plans) outside the measured window
         pipelinePass(spark, fixtureBase, 12000)
+        // gate the measured window on host quiet (bounded wait): a run
+        // started into a neighbor's load spike never beats the min anyway
+        val l = awaitQuiet()
         val st = pipelinePass(spark, fixtureBase, nBase)
         n = st.nImages
         times(cpus) = st.sec :: times(cpus)
-        System.err.println(f"[bench] scaling round $r local[$cpus]: ${st.nImages} images in ${st.sec}%.2f s = ${st.imagesPerSec}%.0f images/s")
+        loads(cpus) = l :: loads(cpus)
+        System.err.println(f"[bench] scaling round $r local[$cpus]: ${st.nImages} images in ${st.sec}%.2f s = ${st.imagesPerSec}%.0f images/s (load1 at start: $l%.1f)")
       } finally spark.stop()
     }
     val best = levels.map(c => (c, times(c).min))
@@ -152,7 +182,7 @@ object Bench {
     val headline = pairs.head._2
     val pairsJson = pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val lvls = best.map { case (c, t) =>
-      s"""{"cpus":$c,"sec":$t,"images_per_sec":${n / t},"all_runs":${times(c).reverse.mkString("[", ",", "]")}}"""
+      s"""{"cpus":$c,"sec":$t,"images_per_sec":${n / t},"all_runs":${times(c).reverse.mkString("[", ",", "]")},"load1_at_start":${loads(c).reverse.mkString("[", ",", "]")}}"""
     }.mkString("[", ",", "]")
     (headline,
       s"""{"efficiency":$headline,"headline_pair":"${pairs.head._1}","pair_efficiencies":$pairsJson,"n_images":$n,"levels":$lvls}""")
@@ -163,7 +193,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES", "150000").toInt
     val nScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING_IMAGES", "100000").toInt
-    val scalingRounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "2").toInt
+    val scalingRounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "3").toInt
     // Fixture lives on tmpfs: in local[N] mode one host's disk bandwidth is
     // shared by all N threads, whereas on a real cluster 4x the executors
     // bring 4x the aggregate disk bandwidth -- tmpfs-backed input is the
@@ -199,11 +229,17 @@ object Bench {
       }
     }
 
-    val pipe = pipelinePass(spark, fixtureBase, nBase)
+    // headline passes: min-of-2, each gated on host quiet -- single
+    // timings on this shared host are noise (BASELINE.md methodology)
+    val pipe = (1 to 2).map { _ =>
+      awaitQuiet(); pipelinePass(spark, fixtureBase, nBase)
+    }.minBy(_.sec)
     System.err.println(f"[bench] pipeline: ${pipe.nImages} images (${pipe.corpusBytes / 1e6}%.1f MB) in ${pipe.sec}%.2f s = ${pipe.imagesPerSec}%.0f images/s = ${pipe.mbPerSec}%.2f MB/s")
 
     val nJsonlDocs = sys.env.getOrElse("SPARK_GRAFT_JSONL_DOCS", "50000").toInt
-    val (jBytes, jSec, jFiles) = jsonlPass(spark, "/dev/shm/graft-fixtures", nJsonlDocs)
+    val (jBytes, jSec, jFiles) = (1 to 2).map { _ =>
+      awaitQuiet(); jsonlPass(spark, "/dev/shm/graft-fixtures", nJsonlDocs)
+    }.minBy(_._2)
     val jMbs = jBytes / 1e6 / jSec
     System.err.println(f"[bench] jsonl workflow: ${jBytes / 1e6}%.1f MB text, $jFiles files, ${jSec}%.2f s = $jMbs%.2f MB/s (reference single-box: ~46 MB/s on 128 threads)")
     spark.stop()

@@ -49,6 +49,35 @@ class StageAndStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(streamedKeys.length == batchKeys.length)
   }
 
+  test("streaming image ingest dedup admits exactly what batch ExactDedup keeps") {
+    val dir = Files.createTempDirectory("graft_ingest").toString + "/images"
+    // period=5 plants plenty of exact dups (ImagesGen kind=exact)
+    val images = graft.sources.ImagesGen.writeFixture(spark, dir, 300, period = 5)
+
+    val q = graft.streaming.IngestDedup.streamingDedup(spark, dir)
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ingest").select($"digest").as[String].collect()
+
+    // batch reference: the pipeline's exact-dedup stage on the same table
+    val batchKept = graft.operators.ExactDedup.flag(
+        images.selectExpr("xxhash64(image_id) as k", // unique per row
+          "concat(sha2(bytes, 256), caption) as content"), "content")
+      .where(!$"is_dup")
+    // some payloads really are duplicated, so the stream dropped rows...
+    assert(images.count() > streamed.length)
+    // ...and what survived is exactly one row per distinct content, the
+    // same content set batch ExactDedup keeps
+    assert(streamed.length == streamed.distinct.length)
+    assert(streamed.length == batchKept.count())
+    val batchDigests = images
+      .withColumn("digest", graft.streaming.IngestDedup.contentDigest)
+      .select($"digest").distinct().as[String].collect()
+    assert(streamed.toSet == batchDigests.toSet)
+  }
+
   test("streaming window counts equal batch on the same events") {
     val src = Files.createTempDirectory("graft_stream").toString
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
