@@ -155,27 +155,39 @@ object OracleSqlGen {
     * cosine divides an exact integer dot by a product of correctly-rounded
     * sqrts, so both engines produce bit-identical orderings.
     */
-  def annLshTopKSql(nQueries: Int, dim: Int, tables: Int, planeBits: Int,
-                    k: Int): String = {
+  /** Shared CTEs: (id, j, v) integer vector components + (id, t, bucket)
+    * sign-LSH buckets. `eidExpr` derives the base-vector id (planted
+    * near-dups reuse an earlier id's base), `deltaExpr` a per-component
+    * integer perturbation -- both must be mirrored exactly on the Spark
+    * side.
+    */
+  private def intVecBucketCtes(dim: Int, tables: Int, planeBits: Int,
+                               eidExpr: String, deltaExpr: String): String = {
     val planeRows = (for {
       t <- 0 until tables; p <- 0 until planeBits; j <- 0 until dim
     } yield s"($t, $p, $j, ${graft.operators.AnnCosine.intPlaneVal(t, p, j)})")
       .mkString(", ")
-    s"""WITH ids AS (SELECT CAST(vec_id AS BIGINT) AS id FROM embeddings),
-       |cz AS (SELECT id, j, ((id * 131 + j))::HUGEINT AS z0
-       |       FROM ids CROSS JOIN (SELECT unnest(generate_series(0, ${dim - 1})) AS j)),
+    s"""ids AS (SELECT CAST(vec_id AS BIGINT) AS id FROM embeddings),
+       |eff AS (SELECT id, ($eidExpr) AS eid FROM ids),
+       |cz AS (SELECT id, j, ((eid * 131 + j))::HUGEINT AS z0
+       |       FROM eff CROSS JOIN (SELECT unnest(generate_series(0, ${dim - 1})) AS j)),
        |${mixCtes("cz", "z0", "m", "cm")},
-       |comp AS (SELECT id, j, ((((${signed("m")}) % 17) + 17) % 17 - 8) AS v FROM cm3),
+       |comp AS (SELECT id, j, ((((${signed("m")}) % 17) + 17) % 17 - 8 + ($deltaExpr)) AS v FROM cm3),
        |planes(t, p, j, w) AS (VALUES $planeRows),
        |dots AS (SELECT c.id, pl.t, pl.p, sum(c.v * pl.w) AS d
        |         FROM comp c JOIN planes pl ON pl.j = c.j GROUP BY c.id, pl.t, pl.p),
        |buckets AS (SELECT id, t,
        |              CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
        |            FROM dots GROUP BY id, t),
+       |norms AS (SELECT id, sum(v * v) AS n2 FROM comp GROUP BY id)""".stripMargin
+  }
+
+  def annLshTopKSql(nQueries: Int, dim: Int, tables: Int, planeBits: Int,
+                    k: Int): String =
+    s"""WITH ${intVecBucketCtes(dim, tables, planeBits, "id", "0")},
        |cand AS (SELECT DISTINCT q.id AS qid, c.id AS id
        |         FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket AND q.id <> c.id
        |         WHERE q.id < $nQueries),
-       |norms AS (SELECT id, sum(v * v) AS n2 FROM comp GROUP BY id),
        |pd AS (SELECT cd.qid, cd.id, sum(a.v * b.v) AS d
        |       FROM cand cd JOIN comp a ON a.id = cd.qid
        |       JOIN comp b ON b.id = cd.id AND b.j = a.j
@@ -185,7 +197,27 @@ object OracleSqlGen {
        |         FROM pd JOIN norms nq ON nq.id = pd.qid JOIN norms nc ON nc.id = pd.id)
        |SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS INT) AS rn
        |FROM sims QUALIFY rn <= $k""".stripMargin
-  }
+
+  /** Oracle for AnnCosine.nearDupPairsInt on the PLANTED corpus: every
+    * id % 10 == 9 vector is id-9's base vector with +1 on component 0
+    * (cosine ~0.997 near-dup); all pairs with cosine >= threshold among
+    * bucket-collision candidates.
+    */
+  def embNearDupPairsSql(dim: Int, tables: Int, planeBits: Int,
+                         threshold: Double): String =
+    s"""WITH ${intVecBucketCtes(dim, tables, planeBits,
+          "CASE WHEN id % 10 = 9 THEN id - 9 ELSE id END",
+          "CASE WHEN id % 10 = 9 AND j = 0 THEN 1 ELSE 0 END")},
+       |cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+       |         FROM buckets x JOIN buckets y ON x.t = y.t AND x.bucket = y.bucket AND x.id < y.id),
+       |pd AS (SELECT c.a, c.b, sum(va.v * vb.v) AS d
+       |       FROM cand c JOIN comp va ON va.id = c.a
+       |       JOIN comp vb ON vb.id = c.b AND vb.j = va.j
+       |       GROUP BY c.a, c.b),
+       |sims AS (SELECT pd.a, pd.b,
+       |           CAST(pd.d AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS sim
+       |         FROM pd JOIN norms na ON na.id = pd.a JOIN norms nb ON nb.id = pd.b)
+       |SELECT a, b, round(sim, 6) AS sim FROM sims WHERE sim >= $threshold""".stripMargin
 
   /** Sanity self-check used by tests: mix64 in Scala == reference. */
   def mix64Ref(z: Long): Long = PolyHash.mix64(z)

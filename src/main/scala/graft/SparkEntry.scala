@@ -134,6 +134,25 @@ object SparkEntry {
       .toDF("id", "vec")
   }
 
+  /** intVecs with planted near-duplicates: every id % 10 == 9 vector is
+    * id-9's base vector with +1 on component 0 (cosine ~0.997) -- the
+    * embedding-cosine near-dup fixture, mirrored exactly in
+    * OracleSqlGen.embNearDupPairsSql.
+    */
+  private def plantedVecs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("id")).as[Long]
+      .map { id =>
+        val eid = if (id % 10 == 9) id - 9 else id
+        (id, Array.tabulate(AnnDim) { j =>
+          val base = Math.floorMod(graft.functions.PolyHash.mix64(eid * 131L + j), 17) - 8
+          (base + (if (id % 10 == 9 && j == 0) 1 else 0)).toDouble
+        })
+      }
+      .toDF("id", "vec")
+  }
+
   // ---- substring-dedup oracle SQL (naive transcription) ----
 
   private def removeRangesOracle(docsSql: String): String =
@@ -332,6 +351,13 @@ object SparkEntry {
         10, AnnDim, tables = AnnTables, planeBits = AnnPlaneBits)
         .select("qid", "id", "rn")
     }),
+
+    // Embedding-cosine near-dup pairs -- the dedup-flavored ANN use:
+    // bucket-collision candidates (no cross product), exact cosine >=
+    // threshold re-check, over the planted integer corpus (full oracle).
+    "emb_neardup_pairs" -> ((s, dir) =>
+      AnnCosine.nearDupPairsInt(plantedVecs(s, dir), 0.9,
+        AnnDim, AnnTables, AnnPlaneBits)),
 
     // A9: index-order verification -- non-decreasing keys within every
     // sorted partition + byte homogeneity of every same-key run. The
@@ -575,6 +601,9 @@ object SparkEntry {
 
     "ann_lsh_topk" ->
       OracleSqlGen.annLshTopKSql(5, AnnDim, AnnTables, AnnPlaneBits, 10),
+
+    "emb_neardup_pairs" ->
+      OracleSqlGen.embNearDupPairsSql(AnnDim, AnnTables, AnnPlaneBits, 0.9),
 
     "a9_order_violations" ->
       """SELECT CAST(NULL AS BIGINT) AS k, CAST(NULL AS BIGINT) AS pos,

@@ -120,6 +120,33 @@ object AnnCosine {
                  dim: Int, tables: Int, planeBits: Int): DataFrame =
     lshTopKWith(queries, corpus, k, intPlanes(tables, planeBits, dim))
 
+  /** Embedding-cosine near-duplicate pairs -- the dedup-flavored use of
+    * the ANN machinery: all (a, b, sim) with cosine >= threshold among
+    * bucket-collision candidates (a < b). The self-join runs on the
+    * (id, table, bucket) table, never on vectors -- no cross product at
+    * any scale; candidates join vectors only for the exact re-check.
+    * Integer planes so the candidate set (and thus the full result on
+    * integer-valued vectors) is exactly reproducible in SQL.
+    */
+  def nearDupPairsInt(corpus: DataFrame, threshold: Double,
+                      dim: Int, tables: Int, planeBits: Int): DataFrame = {
+    val b = bucketTableWith(corpus.select(col("id"), col("vec")),
+      intPlanes(tables, planeBits, dim))
+    val cand = b.as("x")
+      .join(b.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    val va = asDouble(corpus.select(col("id").cast("long").as("a"), col("vec").as("qv")), "qv")
+    val vb = asDouble(corpus.select(col("id").cast("long").as("b"), col("vec").as("cv")), "cv")
+    cand
+      .join(va, "a")
+      .join(vb, "b")
+      .withColumn("sim", cosine("qv", "cv"))
+      .where(col("sim") >= threshold)
+      .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+  }
+
   private def lshTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
                           planes: Array[Array[Array[Double]]]): DataFrame = {
     val cb = bucketTableWith(corpus.select(col("id"), col("vec")), planes)
