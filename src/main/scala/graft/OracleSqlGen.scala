@@ -161,25 +161,28 @@ object OracleSqlGen {
     * integer perturbation -- both must be mirrored exactly on the Spark
     * side.
     */
-  private def intVecBucketCtes(dim: Int, tables: Int, planeBits: Int,
-                               eidExpr: String, deltaExpr: String): String = {
-    val planeRows = (for {
-      t <- 0 until tables; p <- 0 until planeBits; j <- 0 until dim
-    } yield s"($t, $p, $j, ${graft.operators.AnnCosine.intPlaneVal(t, p, j)})")
-      .mkString(", ")
+  private def intVecCtes(dim: Int, eidExpr: String, deltaExpr: String): String =
     s"""ids AS (SELECT CAST(vec_id AS BIGINT) AS id FROM embeddings),
        |eff AS (SELECT id, ($eidExpr) AS eid FROM ids),
        |cz AS (SELECT id, j, ((eid * 131 + j))::HUGEINT AS z0
        |       FROM eff CROSS JOIN (SELECT unnest(generate_series(0, ${dim - 1})) AS j)),
        |${mixCtes("cz", "z0", "m", "cm")},
        |comp AS (SELECT id, j, ((((${signed("m")}) % 17) + 17) % 17 - 8 + ($deltaExpr)) AS v FROM cm3),
+       |norms AS (SELECT id, sum(v * v) AS n2 FROM comp GROUP BY id)""".stripMargin
+
+  private def intVecBucketCtes(dim: Int, tables: Int, planeBits: Int,
+                               eidExpr: String, deltaExpr: String): String = {
+    val planeRows = (for {
+      t <- 0 until tables; p <- 0 until planeBits; j <- 0 until dim
+    } yield s"($t, $p, $j, ${graft.operators.AnnCosine.intPlaneVal(t, p, j)})")
+      .mkString(", ")
+    s"""${intVecCtes(dim, eidExpr, deltaExpr)},
        |planes(t, p, j, w) AS (VALUES $planeRows),
        |dots AS (SELECT c.id, pl.t, pl.p, sum(c.v * pl.w) AS d
        |         FROM comp c JOIN planes pl ON pl.j = c.j GROUP BY c.id, pl.t, pl.p),
        |buckets AS (SELECT id, t,
        |              CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
-       |            FROM dots GROUP BY id, t),
-       |norms AS (SELECT id, sum(v * v) AS n2 FROM comp GROUP BY id)""".stripMargin
+       |            FROM dots GROUP BY id, t)""".stripMargin
   }
 
   def annLshTopKSql(nQueries: Int, dim: Int, tables: Int, planeBits: Int,
@@ -218,6 +221,49 @@ object OracleSqlGen {
        |           CAST(pd.d AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS sim
        |         FROM pd JOIN norms na ON na.id = pd.a JOIN norms nb ON nb.id = pd.b)
        |SELECT a, b, round(sim, 6) AS sim FROM sims WHERE sim >= $threshold""".stripMargin
+
+  /** Oracle for AnnCosine.ivfTopKInt: seed centroids = the nCells
+    * lowest-id vectors; one Lloyd round with floor(mean + 0.5)
+    * re-integerization (floor, not round: round-half rules differ across
+    * engines on negatives); queries (id < nQueries) probe their nProbe
+    * nearest cells; exact cosine re-rank. Every distance is integer
+    * arithmetic, so the assignment, probes, and ordering are
+    * bit-identical across engines.
+    */
+  def ivfTopKSql(nQueries: Int, dim: Int, nCells: Int, nProbe: Int,
+                 k: Int): String =
+    s"""WITH ${intVecCtes(dim, "id", "0")},
+       |seeds AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS cell
+       |          FROM ids ORDER BY id LIMIT $nCells),
+       |cent0 AS (SELECT s.cell, c.j, c.v FROM seeds s JOIN comp c ON c.id = s.id),
+       |d0 AS (SELECT c.id, ct.cell, sum((c.v - ct.v) * (c.v - ct.v)) AS d
+       |       FROM comp c JOIN cent0 ct ON ct.j = c.j GROUP BY c.id, ct.cell),
+       |a0 AS (SELECT id, cell FROM (
+       |         SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn FROM d0
+       |       ) WHERE rn = 1),
+       |upd AS (SELECT a0.cell, c.j, floor(CAST(sum(c.v) AS DOUBLE) / count(*) + 0.5) AS v
+       |        FROM a0 JOIN comp c ON c.id = a0.id GROUP BY a0.cell, c.j),
+       |cent1 AS (SELECT c0.cell, c0.j, CAST(coalesce(u.v, c0.v) AS BIGINT) AS v
+       |          FROM cent0 c0 LEFT JOIN upd u ON u.cell = c0.cell AND u.j = c0.j),
+       |d1 AS (SELECT c.id, ct.cell, sum((c.v - ct.v) * (c.v - ct.v)) AS d
+       |       FROM comp c JOIN cent1 ct ON ct.j = c.j GROUP BY c.id, ct.cell),
+       |a1 AS (SELECT id, cell FROM (
+       |         SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn FROM d1
+       |       ) WHERE rn = 1),
+       |probes AS (SELECT id AS qid, cell FROM (
+       |             SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+       |             FROM d1 WHERE id < $nQueries
+       |           ) WHERE rn <= $nProbe),
+       |cand AS (SELECT p.qid, a.id FROM probes p JOIN a1 a ON a.cell = p.cell AND a.id <> p.qid),
+       |pd AS (SELECT cd.qid, cd.id, sum(a.v * b.v) AS d
+       |       FROM cand cd JOIN comp a ON a.id = cd.qid
+       |       JOIN comp b ON b.id = cd.id AND b.j = a.j
+       |       GROUP BY cd.qid, cd.id),
+       |sims AS (SELECT pd.qid, pd.id,
+       |           CAST(pd.d AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS sim
+       |         FROM pd JOIN norms nq ON nq.id = pd.qid JOIN norms nc ON nc.id = pd.id)
+       |SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS INT) AS rn
+       |FROM sims QUALIFY rn <= $k""".stripMargin
 
   /** Sanity self-check used by tests: mix64 in Scala == reference. */
   def mix64Ref(z: Long): Long = PolyHash.mix64(z)

@@ -352,6 +352,19 @@ object SparkEntry {
         .select("qid", "id", "rn")
     }),
 
+    // ANN scale path #2: IVF (inverted-file) cell partitioning -- tiny
+    // integer-re-quantized coarse centroids, nProbe-cell candidate
+    // generation, exact re-rank; same integer-exactness contract as
+    // ann_lsh_topk, so the full result has a DuckDB oracle.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val vecs = intVecs(s, dir)
+      AnnCosine.ivfTopKInt(
+        vecs.where(col("id") < 5).select(col("id").as("qid"), col("vec")),
+        vecs.select(col("id"), col("vec")),
+        10, nCells = 8, nProbe = 2)
+        .select("qid", "id", "rn")
+    }),
+
     // Embedding-cosine near-dup pairs -- the dedup-flavored ANN use:
     // bucket-collision candidates (no cross product), exact cosine >=
     // threshold re-check, over the planted integer corpus (full oracle).
@@ -601,6 +614,9 @@ object SparkEntry {
 
     "ann_lsh_topk" ->
       OracleSqlGen.annLshTopKSql(5, AnnDim, AnnTables, AnnPlaneBits, 10),
+
+    "ann_ivf_topk" ->
+      OracleSqlGen.ivfTopKSql(5, AnnDim, 8, 2, 10),
 
     "emb_neardup_pairs" ->
       OracleSqlGen.embNearDupPairsSql(AnnDim, AnnTables, AnnPlaneBits, 0.9),

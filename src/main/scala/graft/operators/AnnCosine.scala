@@ -155,6 +155,14 @@ object AnnCosine {
     val cand = qb.join(cb, Seq("table", "bucket"))
       .where(col("qid") =!= col("id"))
       .select("qid", "id").distinct()
+    rerank(cand, queries, corpus, k)
+  }
+
+  /** Exact cosine re-rank of a (qid, id) candidate table: the shared tail
+    * of every ANN scale path (LSH tables, IVF cells).
+    */
+  private def rerank(cand: DataFrame, queries: DataFrame, corpus: DataFrame,
+                     k: Int): DataFrame = {
     val q = asDouble(queries.select(col("qid").cast("long"), col("vec").as("qv")), "qv")
     val c = asDouble(corpus.select(col("id").cast("long"), col("vec").as("cv")), "cv")
     cand
@@ -165,5 +173,70 @@ object AnnCosine {
         Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))))
       .where(col("rn") <= k)
       .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
+  /** IVF (inverted-file) ANN, the cell-partitioned scale path: a tiny
+    * coarse quantizer (nCells centroids: the nCells lowest-id vectors,
+    * refined by one Lloyd round) partitions the corpus into cells; a
+    * query probes only its nProbe nearest cells and exact-reranks the
+    * candidates. The centroid table is O(nCells x dim) -- broadcast by
+    * construction; the corpus is touched in two full map passes (assign)
+    * plus one narrow (cell, j) aggregation, never joined to itself.
+    *
+    * Integer-exactness contract (same as lshTopKInt): intended for
+    * integer-valued vectors; refined centroids are re-integerized with
+    * floor(mean + 0.5), so every L2 distance, every probe choice, and
+    * the final cosine ordering is exact integer-derived arithmetic,
+    * reproducible bit-for-bit in SQL (OracleSqlGen.ivfTopKSql).
+    */
+  def ivfTopKInt(queries: DataFrame, corpus: DataFrame, k: Int,
+                 nCells: Int, nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    // seed centroids: the nCells lowest-id vectors (deterministic)
+    val cent0: Array[Array[Double]] = c.orderBy("id").limit(nCells).collect().map(_._2)
+
+    def l2sq(v: Array[Double], ct: Array[Double]): Double = {
+      var d = 0.0; var j = 0
+      while (j < v.length && j < ct.length) { val t = v(j) - ct(j); d += t * t; j += 1 }
+      d
+    }
+    def assign(cents: Array[Array[Double]]): DataFrame =
+      c.map { case (id, v) =>
+        var best = 0; var bd = Double.MaxValue; var ci = 0
+        while (ci < cents.length) {
+          val d = l2sq(v, cents(ci))
+          if (d < bd) { bd = d; best = ci } // strict <: ties keep lowest cell
+          ci += 1
+        }
+        (id, best)
+      }.toDF("id", "cell")
+
+    // one Lloyd round; floor(mean + 0.5) (NOT round(): round-half rules
+    // differ between engines on negatives) keeps centroids integer
+    val updated = assign(cent0)
+      .join(c.toDF("id", "vec"), "id")
+      .select(col("cell"), posexplode(col("vec")).as(Seq("j", "v")))
+      .groupBy("cell", "j")
+      .agg(floor(sum(col("v")) / count(lit(1)) + lit(0.5)).as("v"))
+      .as[(Int, Int, Long)].collect()
+    val cent1 = cent0.map(_.clone()) // empty cells keep their seed centroid
+    updated.foreach { case (cell, j, v) => cent1(cell)(j) = v.toDouble }
+
+    val cells = assign(cent1)
+    val qs = queries.select(col("qid").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val probes = qs.flatMap { case (qid, v) =>
+      cent1.indices
+        .map(ci => (l2sq(v, cent1(ci)), ci))
+        .sorted.take(nProbe) // (distance, cell) ascending: ties -> low cell
+        .map { case (_, ci) => (qid, ci) }
+    }.toDF("qid", "cell")
+    val cand = probes.join(cells, "cell")
+      .where(col("qid") =!= col("id"))
+      .select("qid", "id")
+    rerank(cand, queries, corpus, k)
   }
 }

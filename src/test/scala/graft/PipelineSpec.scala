@@ -103,4 +103,21 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val recall = lsh.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.5, s"lsh recall=$recall")
   }
+
+  test("ann ivf: planted near-copy surfaces as rank-1 through the cell path") {
+    // integer corpus: id 9 = id 0's vector with +1 on component 0
+    // (cosine ~0.997); ids 1..4 have no planted partner
+    def vec(id: Long): Array[Double] = Array.tabulate(16) { j =>
+      val eid = if (id % 10 == 9) id - 9 else id
+      val base = Math.floorMod(graft.functions.PolyHash.mix64(eid * 131L + j), 17) - 8
+      (base + (if (id % 10 == 9 && j == 0) 1 else 0)).toDouble
+    }
+    val corpus = (0L until 200L).map(i => (i, vec(i))).toDF("id", "vec")
+    val queries = Seq((0L, vec(0L))).toDF("qid", "vec")
+    val got = AnnCosine.ivfTopKInt(queries, corpus, 10, nCells = 8, nProbe = 2)
+      .select($"qid", $"id", $"rn").as[(Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    // the near-identical vector lands in the same cell and wins the rerank
+    assert(got.find(_._3 == 1).map(_._2).contains(9L), s"got ${got.toSeq.sortBy(_._3)}")
+  }
 }
