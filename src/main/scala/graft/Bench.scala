@@ -127,7 +127,7 @@ object Bench {
     * bench always completes; min-of-N across interleaved rounds absorbs
     * whatever residual noise gets through. Returns the load at release.
     */
-  def awaitQuiet(threshold: Double = 6.0, maxWaitSec: Int = 120): Double = {
+  def awaitQuiet(threshold: Double = 8.0, maxWaitSec: Int = 45): Double = {
     val deadline = System.nanoTime() + maxWaitSec * 1000000000L
     var l = load1()
     while (l > threshold && System.nanoTime() < deadline) {
