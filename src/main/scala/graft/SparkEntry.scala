@@ -251,6 +251,16 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextStats.minShingleFingerprint(baseDocs(s, dir), ShingleN)),
 
+    // winnowing fingerprints over the rolling hash (MOSS algorithm).
+    "text_winnow_fp" -> ((s, dir) =>
+      TextStats.winnowFingerprints(baseDocs(s, dir), 8, 4)),
+
+    // token counting, whitespace + BPE-ish regex pre-tokenization.
+    "text_token_counts" -> ((s, dir) =>
+      baseDocs(s, dir).select(col("k"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_ws"),
+        size(TextStats.regexTokens(col("text"))).cast("long").as("n_regex"))),
+
     // exact word-3-gram Jaccard near-dup pairs (prefix-filtered, no LSH).
     "jaccard_pairs_exact" -> ((s, dir) =>
       NgramJaccard.wordPairs(docsWithNearDups(s, dir), 3, 0.8)),
@@ -531,6 +541,20 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(doc_id AS BIGINT) AS k, text AS fp
          |FROM documents WHERE length(text) < $ShingleN""".stripMargin,
+
+    "text_winnow_fp" ->
+      """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS k, text FROM documents WHERE length(text) >= 8),
+        |grams AS (SELECT k, i, substr(text, i, 8) AS g
+        |          FROM (SELECT k, text, unnest(generate_series(1, length(text) - 7)) AS i FROM docs)),
+        |ph AS (SELECT k, i, list_reduce(list_prepend(0::HUGEINT, list_transform(range(1, length(g)+1), x -> ord(substr(g, x, 1))::HUGEINT)), (h, c) -> (h * 131 + c) % 2305843009213693951) AS h FROM grams),
+        |wins AS (SELECT k, CAST(min(h) OVER (PARTITION BY k ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS BIGINT) AS fp FROM ph)
+        |SELECT DISTINCT k, fp FROM wins""".stripMargin,
+
+    "text_token_counts" ->
+      """SELECT CAST(doc_id AS BIGINT) AS k,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_ws,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_regex
+        |FROM documents""".stripMargin,
 
     "jaccard_pairs_exact" ->
       s"""WITH docs AS ($docsWithNearDupsSql),

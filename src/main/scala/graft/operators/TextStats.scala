@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.PolyHash
 
 /** Text-analysis operators for training-data pipelines: token counting,
   * quality scoring, language-ID heuristic, fingerprinting, unigram counts.
@@ -89,7 +90,8 @@ object TextStats {
 
   /** Lexicographically minimal character n-gram -- a deterministic,
     * SQL-portable document fingerprint (the degenerate w=all case of
-    * winnowing; the hash-based winnowing variant is in Fingerprint).
+    * winnowing; the hash-based sliding-window variant is
+    * `winnowFingerprints`).
     */
   def minShingleFingerprint(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
     docs.select(col("k").cast("long"),
@@ -98,4 +100,38 @@ object TextStats {
           sequence(lit(1), length(col(textCol)) - (n - 1)),
           i => col(textCol).substr(i, lit(n))))
       ).as("fp"))
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 -- the MOSS
+    * algorithm): rolling polynomial hash of every char n-gram (PolyHash,
+    * O(1)/byte), then each sliding window of w consecutive hashes
+    * contributes its minimum; the doc's fingerprint is the DISTINCT set of
+    * selected hashes -- at least one fingerprint per w positions, so two
+    * docs sharing any run of >= n+w-1 chars share a fingerprint.
+    * Trailing windows shorten naturally (frame [i, min(i+w-1, last)]),
+    * matching the SQL frame `ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING`.
+    * Per-doc mapPartitions: zero shuffle, O(len * w) with constant w.
+    */
+  def winnowFingerprints(docs: DataFrame, n: Int, w: Int,
+                         textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(w >= 1, "window w must be >= 1")
+    docs.select(col("k").cast("long"), encode(col(textCol), "UTF-8").as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (k, b) =>
+        val h = PolyHash.windowHashes(b, n, PolyHash.B1)
+        val out = scala.collection.mutable.LongMap.empty[Unit]
+        var i = 0
+        while (i < h.length) {
+          var m = h(i)
+          var j = i + 1
+          val end = math.min(i + w, h.length)
+          while (j < end) { if (h(j) < m) m = h(j); j += 1 }
+          out.update(m, ())
+          i += 1
+        }
+        out.keysIterator.map(fp => (k, fp))
+      })
+      .toDF("k", "fp")
+  }
 }

@@ -85,6 +85,24 @@ class NearDupSpec extends AnyFunSuite with SparkTestBase {
     assert(far > near, s"far=$far near=$near")
   }
 
+  test("winnowing: docs sharing a >= n+w-1 run share a fingerprint, disjoint docs don't") {
+    import org.apache.spark.sql.functions.col
+    val n = 8; val w = 4
+    val run = "the quick brown fox jumps over it" // 33 >= n+w-1 = 11
+    val docs = Seq(
+      (0L, s"alpha text one $run padding padding"),
+      (1L, s"completely different body here $run and a tail"),
+      (2L, "no shared material in this document at all, zz 998877")
+    ).toDF("k", "text")
+    val fp = graft.operators.TextStats.winnowFingerprints(docs, n, w)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fp(0L) & fp(1L)).nonEmpty, "guarantee: shared run => shared fingerprint")
+    assert((fp(0L) & fp(2L)).isEmpty && (fp(1L) & fp(2L)).isEmpty)
+    // selection density: at least one fingerprint per w positions
+    val len0 = docs.where(col("k") === 0).collect()(0).getString(1).length
+    assert(fp(0L).size >= (len0 - n + 1) / (2 * w))
+  }
+
   test("minhash signature similarity approximates jaccard") {
     val seeds = Shingles.seeds(256)
     val r = new scala.util.Random(41)
