@@ -162,9 +162,18 @@ object JsonlDedupJob {
           .otherwise(col("text")))
   }
 
+  /** Full workflow. `stageDir`: when set, the narrow (k, s, e) ranges
+    * table -- the reference workflow's resume artifact between
+    * find_remove_ranges and write_back (aws_workflow.sh:123-138) -- is
+    * snapshot through plans.Stage with per-partition metrics; a re-run
+    * (crash recovery, or writing a second output mode/codec from the same
+    * dedup) reads the snapshot instead of re-running the dedup. Only the
+    * ~12-byte/range table is ever materialized, never the corpus.
+    */
   def run(spark: SparkSession, inDir: String, outDir: String,
           minLen: Int, mode: String = "annotate",
-          compression: String = "gzip"): Result = {
+          compression: String = "gzip",
+          stageDir: Option[String] = None): Result = {
     require(mode == "annotate" || mode == "remove", s"unknown mode $mode")
     // strip the input's compression extension: the sink appends the one
     // matching the CHOSEN output compression, so the tree mirrors exactly
@@ -172,13 +181,20 @@ object JsonlDedupJob {
     val keyed = readTree(spark, inDir)
       .withColumn("path", regexp_replace(col("path"), "\\.(gz|zst)$", ""))
 
+    val ranges = stageDir match {
+      case Some(d) => new graft.plans.Stage(spark, d)
+        .run("remove_ranges")(SubstringDedup.removeRanges(keyed, SubstringDedup.Config(minLen)))
+      case None => SubstringDedup.removeRanges(keyed, SubstringDedup.Config(minLen))
+    }
+    val annotated = SubstringDedup.annotateWith(keyed, ranges)
     val out = mode match {
-      case "annotate" =>
-        SubstringDedup.annotate(keyed, SubstringDedup.Config(minLen))
+      case "annotate" => annotated
       case "remove" =>
-        SubstringDedup.remove(keyed, SubstringDedup.Config(minLen))
-          .drop("text", "sa_remove_ranges")
-          .withColumnRenamed("text_deduped", "text")
+        annotated
+          .withColumn("text",
+            graft.functions.Utf8.removeMode(
+              encode(col("text"), "UTF-8"), col("sa_remove_ranges")))
+          .drop("sa_remove_ranges")
     }
     val written = Writeback.jsonlTree(out.drop("k"), outDir, compression = compression)
     Result(out, written)

@@ -246,8 +246,17 @@ object SubstringDedup {
   /** Annotate mode: original rows + sa_remove_ranges (UTF-8-clipped),
     * sorted by range start; docs without duplicates get an empty array.
     */
-  def annotate(docs: DataFrame, cfg: Config): DataFrame = {
-    val ranges = removeRanges(docs, cfg)
+  def annotate(docs: DataFrame, cfg: Config): DataFrame =
+    annotateWith(docs, removeRanges(docs, cfg))
+
+  /** Annotate from an already-computed ranges table (k, s, e) -- the
+    * checkpoint seam: remove_ranges is the reference workflow's resume
+    * artifact between find_remove_ranges and write_back
+    * (aws_workflow.sh:123-138), so callers can snapshot the narrow ranges
+    * and re-enter here without re-running the dedup.
+    */
+  def annotateWith(docs: DataFrame, rangesTable: DataFrame): DataFrame = {
+    val ranges = rangesTable
       .groupBy("k")
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("raw"))
     docs

@@ -91,6 +91,30 @@ class JsonlDedupJobSpec extends AnyFunSuite with SparkTestBase {
     assert(back("m2").length < s"a later copy $run appears again".length)
   }
 
+  test("stage-dir: remove_ranges snapshot computed once, reused across output modes") {
+    val in = mkTree()
+    val stage = Files.createTempDirectory("graft_jsonl_stage").toString
+    val out1 = Files.createTempDirectory("graft_jsonl_sd1").toString
+    val out2 = Files.createTempDirectory("graft_jsonl_sd2").toString
+    JsonlDedupJob.run(spark, in, out1, minLen = 32, mode = "annotate",
+      compression = "none", stageDir = Some(stage)).written.collect()
+    val st = new graft.plans.Stage(spark, stage)
+    val m1 = st.metrics.count()
+    assert(m1 > 0)
+    // second run in the OTHER mode resumes the snapshot: no new metrics rows
+    JsonlDedupJob.run(spark, in, out2, minLen = 32, mode = "remove",
+      compression = "none", stageDir = Some(stage)).written.collect()
+    assert(st.metrics.count() == m1, "ranges stage must resume, not recompute")
+    // the snapshot is the narrow reference artifact (k, s, e)
+    val snap = spark.read.parquet(s"$stage/remove_ranges")
+    assert(snap.columns.toSet == Set("k", "s", "e") && snap.count() > 0)
+    // and the resumed remove-mode output still cuts the duplicated run
+    val back = spark.read.option("recursiveFileLookup", "true").json(out2)
+      .select("meta", "text").as[(String, String)].collect().toMap
+    assert(back("m0") == s"the original $run lives here first")
+    assert(!back("m2").contains(run))
+  }
+
   test("readTree streams: many-line gz + zst files, exact linenums across blank lines, no whole-file rows") {
     val root = Files.createTempDirectory("graft_jsonl_stream")
     // 5000 lines with a blank every 7th: linenum must count PHYSICAL lines
