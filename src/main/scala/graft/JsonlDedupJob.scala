@@ -3,7 +3,6 @@ package graft
 import java.io.{BufferedReader, InputStream, InputStreamReader}
 import java.nio.charset.StandardCharsets
 import java.util.zip.GZIPInputStream
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -105,6 +104,7 @@ object JsonlDedupJob {
     require(sch.fieldNames.contains("text"), "JSONL docs must carry a `text` field")
 
     val files = rel.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+    val hadoopProps = graft.sources.HadoopConfs.snapshot(spark)
     val lines = spark.createDataset(files).toDF("fid", "path")
       // explicit numPartitions = one file per task (AQE never coalesces a
       // REPARTITION_BY_NUM exchange); at most a few files share a task on
@@ -113,7 +113,8 @@ object JsonlDedupJob {
       .as[(Long, String)]
       .flatMap { case (fid, relPath) =>
         val p = new Path(inDir, relPath)
-        val raw = p.getFileSystem(new Configuration()).open(p)
+        val conf = graft.sources.HadoopConfs.build(hadoopProps)
+        val raw = p.getFileSystem(conf).open(p)
         val in: InputStream = relPath match {
           case r if r.endsWith(".gz")  => new GZIPInputStream(raw, 1 << 16)
           case r if r.endsWith(".zst") => new com.github.luben.zstd.ZstdInputStream(raw)

@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -60,8 +59,9 @@ object RemoveRangesBin {
       .repartitionByRange(partitions, col("gs"))
       .sortWithinPartitions("gs", "ge")
       .as[(Long, Long)]
+    val hadoopProps = HadoopConfs.snapshot(spark)
     val counts = global.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val conf = new Configuration()
+      val conf = HadoopConfs.build(hadoopProps)
       val target = new Path(outDir, f"part-$pid%05d.bin")
       val os = target.getFileSystem(conf).create(target, true)
       val buf = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)

@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -55,10 +54,11 @@ object Writeback {
     val suffix = compression match {
       case "gzip" => ".gz"; case "zstd" => ".zst"; case _ => ""
     }
+    val hadoopProps = HadoopConfs.snapshot(spark)
     rows.mapPartitions { it =>
-      // Executor-side Hadoop conf: default-configured (core-site from the
-      // classpath), which covers local FS and default HDFS/s3a deployments.
-      val conf = new Configuration()
+      // Executor-side Hadoop conf: the SESSION's conf rebuilt from a
+      // snapshot, so s3a credentials/endpoints and fs tuning propagate.
+      val conf = HadoopConfs.build(hadoopProps)
       val attempt = Option(org.apache.spark.TaskContext.get())
         .map(tc => tc.taskAttemptId().toString).getOrElse("local")
       val written = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]

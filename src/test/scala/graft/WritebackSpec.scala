@@ -123,6 +123,16 @@ class WritebackSpec extends AnyFunSuite with SparkTestBase {
     assert(litter.forall(_.contains(".999.")), s"unexpected litter: ${litter.toSeq}")
   }
 
+  test("HadoopConfs snapshot carries session-set keys to a rebuilt conf") {
+    spark.sessionState.conf // force session init
+    spark.sparkContext.hadoopConfiguration.set("fs.graft.test.key", "sekrit")
+    val props = graft.sources.HadoopConfs.snapshot(spark)
+    val rebuilt = graft.sources.HadoopConfs.build(props)
+    assert(rebuilt.get("fs.graft.test.key") == "sekrit")
+    // core defaults present too (rebuild is a full conf, not a delta)
+    assert(rebuilt.get("fs.defaultFS") != null)
+  }
+
   test("remove_ranges LE compat writer matches hand-built golden bytes") {
     // three docs; doc starts at 1 + sum(1 + len_j) for j < k
     val docs = Seq(
