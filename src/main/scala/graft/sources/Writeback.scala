@@ -39,16 +39,22 @@ object Writeback {
     */
   def jsonlTree(docs: DataFrame, outDir: String,
                 pathCol: String = "path", linenumCol: String = "linenum",
-                compression: String = "gzip"): DataFrame = {
+                compression: String = "gzip",
+                numPartitions: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(Set("gzip", "zstd", "none")(compression), s"unknown compression $compression")
     val payload = docs.columns.filter(c => c != pathCol && c != linenumCol)
-    val rows = docs.select(
+    val keyed = docs.select(
         col(pathCol).as("_p"),
         col(linenumCol).cast("long").as("_ln"),
         to_json(struct(payload.map(col).toSeq: _*)).as("_js"))
-      .repartition(col("_p"))
+    // writer parallelism: default is the session's shuffle partitions;
+    // on a tree with far more files than that, pass numPartitions ~
+    // 2-3x total executor cores so each task streams a bounded slice of
+    // files (the reference's worker-count knob, :113-118)
+    val rows = (if (numPartitions > 0) keyed.repartition(numPartitions, col("_p"))
+                else keyed.repartition(col("_p")))
       .sortWithinPartitions("_p", "_ln")
       .as[(String, Long, String)]
     val suffix = compression match {
