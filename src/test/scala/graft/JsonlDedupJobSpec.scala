@@ -140,6 +140,55 @@ class JsonlDedupJobSpec extends AnyFunSuite with SparkTestBase {
     assert(ks.forall(_ >= (1L << JsonlDedupJob.LinenumBits)), "second file's k must rank after the first file's")
   }
 
+  test("end-to-end unicode differential: annotate through the full job matches the brute oracle + independent clip") {
+    val minLen = 16
+    val runStr = "SHARED-RUN-0123456789-abcdefghij" // 32 ASCII bytes
+    val root = Files.createTempDirectory("graft_jsonl_uni")
+    // reference order: crawl=u/one (-> "u/one") before v/two
+    val fileA = Seq(
+      s"""{"text": "prefix 日本 $runStr über tail😊", "id": "a0"}""",
+      """{"text": "nothing shared in ここ at all, solo doc", "id": "a1"}""")
+    val fileB = Seq(
+      s"""{"text": "copy $runStr with é tail", "id": "b0"}""",
+      "",
+      s"""{"text": "😊😊 another $runStr planted late", "id": "b2"}""")
+    writeGz(root.resolve("crawl=u/one.jsonl.gz"), fileA)
+    writePlain(root.resolve("v/two.jsonl"), fileB)
+
+    val out = Files.createTempDirectory("graft_jsonl_uni_out").toString
+    JsonlDedupJob.run(spark, root.toString, out, minLen = minLen,
+      mode = "annotate", compression = "none").written.collect()
+
+    // oracle over the SAME global (k = fid<<40 | linenum) order; fixture
+    // texts are regex-extractable (no escapes), so no JSON dep needed
+    val parse = (line: String) =>
+      """"text": "(.*?)", "id"""".r.findFirstMatchIn(line).get.group(1)
+    val ordered: Seq[(Long, String, String)] =
+      fileA.zipWithIndex.collect { case (l, i) if l.nonEmpty =>
+        (i.toLong, parse(l), s"a$i") } ++
+      fileB.zipWithIndex.collect { case (l, i) if l.nonEmpty =>
+        ((1L << JsonlDedupJob.LinenumBits) + i, parse(l), s"b$i") }
+    val expectedRaw = DedupTestOracle.bruteRanges(ordered.map(d => (d._1, d._2)), minLen)
+    val expected: Map[String, Seq[(Long, Long)]] = ordered.map { case (k, t, id) =>
+      val b = t.getBytes(StandardCharsets.UTF_8)
+      id -> expectedRaw.toSeq.filter(_._1 == k).map(r => (r._2, r._3)).sorted
+        .map { case (s, e) => DedupTestOracle.clipIndependent(b, s, e) }
+    }.toMap
+
+    val back = spark.read.option("recursiveFileLookup", "true").json(out)
+      .select(col("id"), col("text"),
+        expr("transform(sa_remove_ranges, r -> struct(r.s as s, r.e as e))").as("r"))
+      .as[(String, String, Seq[(Long, Long)])].collect()
+    assert(back.length == ordered.length)
+    back.foreach { case (id, text, got) =>
+      // text fidelity through gz/plain + unicode
+      assert(text == ordered.find(_._3 == id).get._2, s"text mangled for $id")
+      assert(got == expected(id), s"ranges for $id: got $got want ${expected(id)}")
+    }
+    // sanity: the later copies were actually annotated
+    assert(expected("b0").nonEmpty && expected("b2").nonEmpty && expected("a0").isEmpty)
+  }
+
   test("readTree fails fast with path:linenum on a missing text field") {
     val root = Files.createTempDirectory("graft_jsonl_bad")
     writePlain(root.resolve("ok.jsonl"), Seq("""{"text": "fine", "meta": "x"}"""))

@@ -15,30 +15,9 @@ import graft.functions.Utf8
 class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
-  /** Brute-force oracle: group positions by actual window bytes, keep the
-    * (k,pos)-minimum, coalesce the rest per doc with overlap-or-touch.
-    */
-  def bruteRanges(docs: Seq[(Long, String)], minLen: Int): Set[(Long, Long, Long)] = {
-    val wins = for {
-      (k, t) <- docs
-      b = t.getBytes(UTF_8)
-      p <- 0 to b.length - minLen
-    } yield (b.slice(p, p + minLen).toSeq, (k, p.toLong))
-    val removable = wins.groupBy(_._1).values.flatMap { g =>
-      val members = g.map(_._2).sorted
-      members.filterNot(_ == members.head)
-    }.toSeq.distinct
-    removable.groupBy(_._1).flatMap { case (k, ps) =>
-      val sorted = ps.map(_._2).sorted
-      val ranges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      for (p <- sorted) {
-        if (ranges.nonEmpty && ranges.last._2 >= p)
-          ranges(ranges.length - 1) = (ranges.last._1, p + minLen)
-        else ranges += ((p, p + minLen))
-      }
-      ranges.map { case (s, e) => (k, s, e) }
-    }.toSet
-  }
+  /** Brute-force oracle (shared with the end-to-end JSONL differential). */
+  def bruteRanges(docs: Seq[(Long, String)], minLen: Int): Set[(Long, Long, Long)] =
+    DedupTestOracle.bruteRanges(docs, minLen)
 
   def randomDocs(seed: Int, n: Int, alphabet: String): Seq[(Long, String)] = {
     val r = new scala.util.Random(seed)
