@@ -84,6 +84,40 @@ object PolyHash {
     out
   }
 
+  /** Both bases' window hashes in ONE pass over the bytes: the window
+    * shuffle keys every position by (h1, h2), and two separate
+    * windowHashes calls sweep the corpus twice -- at 100 TB the second
+    * sweep is pure wasted memory bandwidth. Same values as
+    * (windowHashes(b, L, B1), windowHashes(b, L, B2)) (property-tested).
+    */
+  def windowHashes2(bytes: Array[Byte], winLen: Int): (Array[Long], Array[Long]) = {
+    val n = bytes.length
+    if (n < winLen) return (Array.emptyLongArray, Array.emptyLongArray)
+    val o1 = new Array[Long](n - winLen + 1)
+    val o2 = new Array[Long](n - winLen + 1)
+    val top1 = powmod(B1, (winLen - 1).toLong)
+    val top2 = powmod(B2, (winLen - 1).toLong)
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < winLen) {
+      val c = (bytes(i) & 0xff).toLong
+      h1 = addmod(mulmod(h1, B1), c)
+      h2 = addmod(mulmod(h2, B2), c)
+      i += 1
+    }
+    o1(0) = h1; o2(0) = h2
+    var p = 0
+    while (p < n - winLen) {
+      val out = (bytes(p) & 0xff).toLong
+      val in = (bytes(p + winLen) & 0xff).toLong
+      h1 = addmod(mulmod(submod(h1, mulmod(out, top1)), B1), in)
+      h2 = addmod(mulmod(submod(h2, mulmod(out, top2)), B2), in)
+      p += 1
+      o1(p) = h1; o2(p) = h2
+    }
+    (o1, o2)
+  }
+
   /** splitmix64 finalizer -- used to derive k independent MinHash
     * permutations from one 64-bit shingle hash (seeded re-mix), and as a
     * generic portable scrambler. Public-domain algorithm (Steele et al.).

@@ -63,8 +63,7 @@ object SubstringDedup {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (k, bytes) =>
-          val h1 = PolyHash.windowHashes(bytes, minLen, PolyHash.B1)
-          val h2 = PolyHash.windowHashes(bytes, minLen, PolyHash.B2)
+          val (h1, h2) = PolyHash.windowHashes2(bytes, minLen)
           Iterator.range(0, h1.length).map(i => (h1(i), h2(i), k, i.toLong))
         }
       }
@@ -293,8 +292,7 @@ object SubstringDedup {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (k, bytes) =>
-          val h1 = PolyHash.windowHashes(bytes, minLen, PolyHash.B1)
-          val h2 = PolyHash.windowHashes(bytes, minLen, PolyHash.B2)
+          val (h1, h2) = PolyHash.windowHashes2(bytes, minLen)
           Iterator.range(0, h1.length).map { i =>
             (h1(i), h2(i), k, i.toLong,
               java.util.Arrays.copyOfRange(bytes, i, i + minLen))

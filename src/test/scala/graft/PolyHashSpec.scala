@@ -33,6 +33,13 @@ object PolyHashProps extends Properties("PolyHash") {
       rolled == direct
     }
 
+  property("fused dual-base pass == two single-base passes") =
+    forAll(bytesGen, Gen.chooseNum(1, 16)) { (bytes, winLen) =>
+      val (h1, h2) = PolyHash.windowHashes2(bytes, winLen)
+      h1.toSeq == PolyHash.windowHashes(bytes, winLen, PolyHash.B1).toSeq &&
+      h2.toSeq == PolyHash.windowHashes(bytes, winLen, PolyHash.B2).toSeq
+    }
+
   property("equal windows hash equal across docs") = Prop {
     val a = "abcdefgh".getBytes
     val b = "xxabcdefghzz".getBytes
