@@ -255,6 +255,20 @@ object SparkEntry {
     "text_winnow_fp" -> ((s, dir) =>
       TextStats.winnowFingerprints(baseDocs(s, dir), 8, 4)),
 
+    // fingerprint-collision candidate pairs -- winnowing as a dedup
+    // primitive: docs sharing >= 1 selected fingerprint, with the shared
+    // count (the MOSS match-detection join). Self-join on the narrow
+    // (k, fp) table only, never on documents. n=24 so a collision means a
+    // real >= 24-char shared run, not a common English fragment -- at
+    // n=8 the join degenerates toward all-pairs.
+    "winnow_candidate_pairs" -> ((s, dir) => {
+      val fp = TextStats.winnowFingerprints(docsWithDups(s, dir), 24, 8)
+      fp.as("x").join(fp.as("y"),
+          col("x.fp") === col("y.fp") && col("x.k") < col("y.k"))
+        .groupBy(col("x.k").as("a"), col("y.k").as("b"))
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
     // token counting, whitespace + BPE-ish regex pre-tokenization.
     "text_token_counts" -> ((s, dir) =>
       baseDocs(s, dir).select(col("k"),
@@ -425,6 +439,18 @@ object SparkEntry {
 
   // ---- DuckDB oracles ----
 
+  /** Winnowing CTEs ending in fps(k, fp): char n-gram polyhash61 + sliding
+    * min over w hashes + distinct -- the SQL mirror of
+    * TextStats.winnowFingerprints.
+    */
+  private def winnowCtes(docsSql: String, n: Int, w: Int): String =
+    s"""docs AS (SELECT k, text FROM ($docsSql) WHERE length(text) >= $n),
+       |grams AS (SELECT k, i, substr(text, i, $n) AS g
+       |          FROM (SELECT k, text, unnest(generate_series(1, length(text) - ${n - 1})) AS i FROM docs)),
+       |wh AS (SELECT k, i, list_reduce(list_prepend(0::HUGEINT, list_transform(range(1, length(g)+1), x -> ord(substr(g, x, 1))::HUGEINT)), (h, c) -> (h * 131 + c) % 2305843009213693951) AS h FROM grams),
+       |wins AS (SELECT k, CAST(min(h) OVER (PARTITION BY k ORDER BY i ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS BIGINT) AS fp FROM wh),
+       |fps AS (SELECT DISTINCT k, fp FROM wins)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "a1_remove_ranges" -> removeRangesOracle(docsWithDupsSql),
@@ -543,12 +569,14 @@ object SparkEntry {
          |FROM documents WHERE length(text) < $ShingleN""".stripMargin,
 
     "text_winnow_fp" ->
-      """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS k, text FROM documents WHERE length(text) >= 8),
-        |grams AS (SELECT k, i, substr(text, i, 8) AS g
-        |          FROM (SELECT k, text, unnest(generate_series(1, length(text) - 7)) AS i FROM docs)),
-        |ph AS (SELECT k, i, list_reduce(list_prepend(0::HUGEINT, list_transform(range(1, length(g)+1), x -> ord(substr(g, x, 1))::HUGEINT)), (h, c) -> (h * 131 + c) % 2305843009213693951) AS h FROM grams),
-        |wins AS (SELECT k, CAST(min(h) OVER (PARTITION BY k ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS BIGINT) AS fp FROM ph)
-        |SELECT DISTINCT k, fp FROM wins""".stripMargin,
+      s"""WITH ${winnowCtes("SELECT CAST(doc_id AS BIGINT) AS k, text FROM documents", 8, 4)}
+         |SELECT k, fp FROM fps""".stripMargin,
+
+    "winnow_candidate_pairs" ->
+      s"""WITH ${winnowCtes(docsWithDupsSql, 24, 8)}
+         |SELECT x.k AS a, y.k AS b, count(*) AS n_shared
+         |FROM fps x JOIN fps y ON x.fp = y.fp AND x.k < y.k
+         |GROUP BY x.k, y.k""".stripMargin,
 
     "text_token_counts" ->
       """SELECT CAST(doc_id AS BIGINT) AS k,
