@@ -114,7 +114,12 @@ object JsonlDedupJob {
       .flatMap { case (fid, relPath) =>
         val p = new Path(inDir, relPath)
         val conf = graft.sources.HadoopConfs.build(hadoopProps)
-        val raw = p.getFileSystem(conf).open(p)
+        val fs = p.getFileSystem(conf)
+        // 0-byte files occur in real crawl trees; a GZIPInputStream over
+        // one throws EOFException at construction -- skip them outright
+        if (fs.getFileStatus(p).getLen == 0) Iterator.empty
+        else {
+        val raw = fs.open(p)
         val in: InputStream = relPath match {
           case r if r.endsWith(".gz")  => new GZIPInputStream(raw, 1 << 16)
           case r if r.endsWith(".zst") => new com.github.luben.zstd.ZstdInputStream(raw)
@@ -143,6 +148,7 @@ object JsonlDedupJob {
             nextLine = advance()
             out
           }
+        }
         }
       }
       .toDF("fid", "path", "linenum", "line")

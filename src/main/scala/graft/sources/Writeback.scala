@@ -75,12 +75,21 @@ object Writeback {
       var n = 0L
       def finish(): Unit = if (os != null) {
         os.close(); os = null
-        // commit: atomic rename of the completed temp onto the final name
-        // (delete-then-rename; the delete only ever removes a PREVIOUS
-        // completed attempt's file, never a file being written)
+        // commit: atomic rename of the completed temp onto the final name.
+        // delete-then-rename, retried: the delete only ever removes a
+        // PREVIOUS completed attempt's file (never one mid-write), and the
+        // retry covers the window where a concurrent attempt re-creates
+        // the destination between our delete and rename -- last completed
+        // attempt wins, interleaving stays impossible.
         val fs = target.getFileSystem(conf)
-        fs.delete(target, false)
-        require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
+        var renamed = false
+        var tries = 0
+        while (!renamed && tries < 5) {
+          fs.delete(target, false)
+          renamed = fs.rename(tmp, target)
+          tries += 1
+        }
+        require(renamed, s"rename $tmp -> $target failed after $tries attempts")
         written += ((cur, n))
       }
       it.foreach { case (p, _, js) =>

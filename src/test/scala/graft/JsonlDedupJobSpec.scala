@@ -204,6 +204,20 @@ class JsonlDedupJobSpec extends AnyFunSuite with SparkTestBase {
       s"error should name the offending path:linenum, got: ${msgs(e)}")
   }
 
+  test("readTree: 0-byte .gz files are skipped, missing trailing newline still yields the last doc") {
+    val root = Files.createTempDirectory("graft_jsonl_edge")
+    Files.createDirectories(root.resolve("sub"))
+    Files.write(root.resolve("sub/empty.jsonl.gz"), Array.emptyByteArray)
+    // no trailing newline on the final line
+    Files.writeString(root.resolve("a.jsonl"),
+      "{\"text\": \"first line doc\"}\n{\"text\": \"last line no newline\"}")
+    val got = JsonlDedupJob.readTree(spark, root.toString)
+      .select("path", "linenum", "text").as[(String, Long, String)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq(
+      ("a.jsonl", 0L, "first line doc"),
+      ("a.jsonl", 1L, "last line no newline")))
+  }
+
   test("listTree orders by the reference key (crawl= stripped)") {
     val root = Files.createTempDirectory("graft_jsonl_order")
     for (p <- Seq("crawl=b/x.jsonl", "a0/y.jsonl", "crawl=a1/z.jsonl", "b1/w.jsonl"))

@@ -123,6 +123,24 @@ class WritebackSpec extends AnyFunSuite with SparkTestBase {
     assert(litter.forall(_.contains(".999.")), s"unexpected litter: ${litter.toSeq}")
   }
 
+  test("writeback race: two concurrent jobs on the same target never interleave bytes") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val out = Files.createTempDirectory("graft_wb_race").toString
+    def job(tag: String) = Future {
+      val docs = (0 until 200).map(i => ("r/part.jsonl", i.toLong, s"$tag line $i"))
+        .toDF("path", "linenum", "text")
+      Writeback.jsonlTree(docs, out, compression = "none").collect()
+    }
+    Await.result(Future.sequence(Seq(job("AAAA"), job("BBBB"))), Duration.Inf)
+    val lines = Files.readAllLines(Paths.get(out, "r", "part.jsonl"))
+    assert(lines.size() == 200)
+    // atomic rename: the final file is EXACTLY one job's output, never a mix
+    val tags = (0 until 200).map(i => if (lines.get(i).contains("AAAA")) "A" else "B").toSet
+    assert(tags.size == 1, s"interleaved writers: $tags")
+  }
+
   test("HadoopConfs snapshot carries session-set keys to a rebuilt conf") {
     spark.sessionState.conf // force session init
     spark.sparkContext.hadoopConfiguration.set("fs.graft.test.key", "sekrit")
