@@ -92,14 +92,39 @@ object JsonlDedupJob {
     * inference would decompress the entire corpus a second time).
     */
   def readTree(spark: SparkSession, inDir: String,
-               schema: StructType = null, inferFiles: Int = 16): DataFrame = {
+               schema: StructType = null, inferFiles: Int = 16,
+               inferLinesPerFile: Int = 100): DataFrame = {
     import spark.implicits._
     val rel = listTree(spark, inDir)
+    // schema: infer from the first `inferLinesPerFile` lines of an evenly
+    // spaced sample of files -- bounded BYTES, not bounded files: at
+    // corpus scale a single shard can be multi-GB, so "read 16 whole
+    // files" is not a cheap sample. Driver-side streaming reads; pass an
+    // explicit schema for trees whose fields drift beyond the sample.
     val sch = Option(schema).getOrElse {
       val stride = math.max(1, rel.size / inferFiles)
-      val sample = rel.grouped(stride).map(_.head).take(inferFiles)
-        .map(p => s"$inDir/$p").toSeq
-      spark.read.json(sample: _*).schema
+      val sample = rel.grouped(stride).map(_.head).take(inferFiles).toSeq
+      val conf = spark.sessionState.newHadoopConf()
+      val lines = sample.flatMap { relPath =>
+        val p = new Path(inDir, relPath)
+        val fs = p.getFileSystem(conf)
+        if (fs.getFileStatus(p).getLen == 0) Nil
+        else {
+          val raw = fs.open(p)
+          val in: InputStream = relPath match {
+            case r if r.endsWith(".gz")  => new GZIPInputStream(raw, 1 << 16)
+            case r if r.endsWith(".zst") => new com.github.luben.zstd.ZstdInputStream(raw)
+            case _                       => raw
+          }
+          val reader = new BufferedReader(
+            new InputStreamReader(in, StandardCharsets.UTF_8), 1 << 16)
+          try Iterator.continually(reader.readLine()).takeWhile(_ != null)
+            .filter(_.trim.nonEmpty).take(inferLinesPerFile).toList
+          finally reader.close()
+        }
+      }
+      require(lines.nonEmpty, s"no JSONL lines found in the $inDir schema sample")
+      spark.read.json(spark.createDataset(lines)).schema
     }
     require(sch.fieldNames.contains("text"), "JSONL docs must carry a `text` field")
 
