@@ -16,6 +16,11 @@ run / fork := true
 // which breaks machine parsing of graft.Bench's single JSON stdout line.
 // Unscoped so it delegates to BOTH `run` and `runMain` task scopes.
 outputStrategy := Some(StdoutOutput)
+// ... and suppress sbt's trailing "[success] Total time: ..." line so the
+// bench's JSON is the LAST stdout line (drivers that parse the final line
+// instead of grepping for "metric" would otherwise read the sbt epilogue).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.StableIds
 import graft.operators._
@@ -35,6 +35,16 @@ object DedupPipeline {
       minhash: MinHashLSH.Config = MinHashLSH.Config(shingleLen = 3, wordShingles = true),
       jaccThreshold: Double = 0.6,
       hammingRadius: Int = 4)
+
+  /** Null-safe caption for content-digest purposes: a NULL caption would
+    * null the whole concat, and both groupBy and dropDuplicates treat
+    * NULLs as equal -- every distinct image with a null caption would
+    * collapse into one arbitrarily-kept row. The sentinel starts with a
+    * NUL byte, which no real caption string contains, so it can never
+    * collide with a literal caption value.
+    */
+  def nullSafeCaption(caption: Column): Column =
+    coalesce(caption, lit("\u0000<null>"))
 
   case class Result(
       keyed: DataFrame,        // images + k
@@ -72,7 +82,8 @@ object DedupPipeline {
     // 2. exact duplicates over full content (bytes + caption)
     val exactEdges = checkpointed("exact_edges") {
       ExactDedup.flag(
-        keyed.withColumn("content", concat(sha2(col("bytes"), 256), col("caption"))),
+        keyed.withColumn("content",
+          concat(sha2(col("bytes"), 256), nullSafeCaption(col("caption")))),
         "content")
         .where(col("is_dup"))
         .select(col("keeper").as("a"), col("k").as("b"))

@@ -77,7 +77,11 @@ object JsonlDedupJob {
     }
     require(buf.nonEmpty, s"no input files under $inDir")
     require(buf.size < MaxFiles, s"${buf.size} files exceeds the $MaxFiles-file id space")
-    buf.sortBy(orderKey).toSeq
+    // composite sort key: orderKey is not injective ("crawl=a/x" and "a/x"
+    // both map to "a/x"), so ties break on the raw relative path -- fid
+    // assignment, and therefore which copy is the kept first occurrence,
+    // stays deterministic across filesystems and listing orders.
+    buf.sortBy(p => (orderKey(p), p)).toSeq
   }
 
   /** Parsed lines with exact (path, linenum) and the stable order key

@@ -77,6 +77,22 @@ object SparkEntry {
       |       substr(text, 1, 50) || ' zq' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 51) AS text
       |FROM documents WHERE doc_id % 7 = 2""".stripMargin
 
+  /** ASCII-contract guard for queries whose DuckDB oracle hashes CHARACTER
+    * code points (`ord(substr(...))` in winnowCtes / the simhash CTEs)
+    * while the Spark operator hashes UTF-8 BYTES: the two only agree when
+    * every character is single-byte. The driver fixture is ASCII (see
+    * TESTDATA.md); if a future fixture isn't, this fails loudly with the
+    * offending doc instead of producing a confusing oracle hash mismatch.
+    * Lazy (raise_error column), so no extra pass over the data.
+    */
+  private def asciiGuard(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(octet_length(col("text")) =!= length(col("text")),
+        raise_error(concat(
+          lit("non-ASCII text breaks the char-based winnow/simhash SQL oracle, k="),
+          col("k").cast("string"))).cast("string"))
+        .otherwise(col("text")))
+
   /** Oracle config for the LSH family: a small signature (8 hashes, 4
     * bands x 2 rows) keeps the DuckDB SQL reimplementation of
     * polyhash61/splitmix64 tractable; no bucket prune so the candidate
@@ -253,7 +269,7 @@ object SparkEntry {
 
     // winnowing fingerprints over the rolling hash (MOSS algorithm).
     "text_winnow_fp" -> ((s, dir) =>
-      TextStats.winnowFingerprints(baseDocs(s, dir), 8, 4)),
+      TextStats.winnowFingerprints(asciiGuard(baseDocs(s, dir)), 8, 4)),
 
     // fingerprint-collision candidate pairs -- winnowing as a dedup
     // primitive: docs sharing >= 1 selected fingerprint, with the shared
@@ -262,7 +278,7 @@ object SparkEntry {
     // real >= 24-char shared run, not a common English fragment -- at
     // n=8 the join degenerates toward all-pairs.
     "winnow_candidate_pairs" -> ((s, dir) => {
-      val fp = TextStats.winnowFingerprints(docsWithDups(s, dir), 24, 8)
+      val fp = TextStats.winnowFingerprints(asciiGuard(docsWithDups(s, dir)), 24, 8)
       fp.as("x").join(fp.as("y"),
           col("x.fp") === col("y.fp") && col("x.k") < col("y.k"))
         .groupBy(col("x.k").as("a"), col("y.k").as("b"))
@@ -299,7 +315,7 @@ object SparkEntry {
 
     // SimHash 64-bit fingerprints over char-5-gram bags.
     "simhash_values" -> ((s, dir) =>
-      SimHash.simhashes(baseDocs(s, dir).where(length(col("text")) >= 5), 5)),
+      SimHash.simhashes(asciiGuard(baseDocs(s, dir)).where(length(col("text")) >= 5), 5)),
 
     // D8: Hamming-radius pairs via pigeonhole banding.
     "d8_hamming_pairs" -> ((s, dir) =>
@@ -441,7 +457,10 @@ object SparkEntry {
 
   /** Winnowing CTEs ending in fps(k, fp): char n-gram polyhash61 + sliding
     * min over w hashes + distinct -- the SQL mirror of
-    * TextStats.winnowFingerprints.
+    * TextStats.winnowFingerprints. NOTE: hashes CHARACTER code points
+    * (ord over substr), so it agrees with the byte-hashing Spark operator
+    * only on ASCII text -- the queries using it wrap their input in
+    * `asciiGuard` to make that contract explicit and loud.
     */
   private def winnowCtes(docsSql: String, n: Int, w: Int): String =
     s"""docs AS (SELECT k, text FROM ($docsSql) WHERE length(text) >= $n),

@@ -109,7 +109,9 @@ object TextStats {
     * docs sharing any run of >= n+w-1 chars share a fingerprint.
     * Trailing windows shorten naturally (frame [i, min(i+w-1, last)]),
     * matching the SQL frame `ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING`.
-    * Per-doc mapPartitions: zero shuffle, O(len * w) with constant w.
+    * Per-doc mapPartitions: zero shuffle, O(len) total via a monotone
+    * deque of candidate minima (each hash enters and leaves the deque at
+    * most once) instead of rescanning each w-window.
     */
   def winnowFingerprints(docs: DataFrame, n: Int, w: Int,
                          textCol: String = "text"): DataFrame = {
@@ -120,15 +122,34 @@ object TextStats {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (k, b) =>
         val h = PolyHash.windowHashes(b, n, PolyHash.B1)
+        val m = h.length
         val out = scala.collection.mutable.LongMap.empty[Unit]
-        var i = 0
-        while (i < h.length) {
-          var m = h(i)
-          var j = i + 1
-          val end = math.min(i + w, h.length)
-          while (j < end) { if (h(j) < m) m = h(j); j += 1 }
-          out.update(m, ())
-          i += 1
+        if (m > 0) {
+          // deque of indices whose hashes are strictly increasing; the
+          // front is the minimum of the current w-window. Equal values
+          // keep the later index (same minimum VALUE, and the selected
+          // fingerprint set only contains values).
+          val q = new Array[Int](m)
+          var qb = 0; var qe = 0
+          var j = 0
+          while (j < m) {
+            while (qe > qb && h(q(qe - 1)) >= h(j)) qe -= 1
+            q(qe) = j; qe += 1
+            val start = j - w + 1 // full window [start, j]
+            if (start >= 0) {
+              while (q(qb) < start) qb += 1
+              out.update(h(q(qb)), ())
+            }
+            j += 1
+          }
+          // trailing shortened windows [i, m-1] for i > m-w: suffix minima
+          // read straight off the surviving deque front
+          var i = math.max(0, m - w + 1)
+          while (i < m) {
+            while (q(qb) < i) qb += 1
+            out.update(h(q(qb)), ())
+            i += 1
+          }
         }
         out.keysIterator.map(fp => (k, fp))
       })

@@ -75,21 +75,34 @@ object Writeback {
       var n = 0L
       def finish(): Unit = if (os != null) {
         os.close(); os = null
-        // commit: atomic rename of the completed temp onto the final name.
-        // delete-then-rename, retried: the delete only ever removes a
-        // PREVIOUS completed attempt's file (never one mid-write), and the
-        // retry covers the window where a concurrent attempt re-creates
-        // the destination between our delete and rename -- last completed
-        // attempt wins, interleaving stays impossible.
-        val fs = target.getFileSystem(conf)
-        var renamed = false
-        var tries = 0
-        while (!renamed && tries < 5) {
-          fs.delete(target, false)
-          renamed = fs.rename(tmp, target)
-          tries += 1
+        // commit: atomic OVERWRITING rename of the completed temp onto the
+        // final name. FileContext.rename(OVERWRITE) replaces the target in
+        // one namespace operation on HDFS (and posix-rename on local FS),
+        // so there is never a window where the final name is absent -- a
+        // re-run over existing output keeps the old committed file visible
+        // until the instant the new one replaces it. Where FileContext is
+        // unsupported, fall back to delete+rename retried (last completed
+        // attempt wins either way; interleaving stays impossible because
+        // only COMPLETED temps are ever renamed).
+        val renamedAtomically =
+          try {
+            org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+              .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            true
+          } catch {
+            case _: UnsupportedOperationException | _: java.io.IOException => false
+          }
+        if (!renamedAtomically) {
+          val fs = target.getFileSystem(conf)
+          var renamed = false
+          var tries = 0
+          while (!renamed && tries < 5) {
+            fs.delete(target, false)
+            renamed = fs.rename(tmp, target)
+            tries += 1
+          }
+          require(renamed, s"rename $tmp -> $target failed after $tries attempts")
         }
-        require(renamed, s"rename $tmp -> $target failed after $tries attempts")
         written += ((cur, n))
       }
       it.foreach { case (p, _, js) =>

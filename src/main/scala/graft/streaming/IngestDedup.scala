@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.DedupPipeline
 
 /** Streaming ingest for the images table layout (BASELINE.json
   * input_hint: image_id, bytes, w, h, fmt, caption, phash): exact
@@ -29,12 +30,13 @@ object IngestDedup {
 
   /** The batch pipeline's content digest, verbatim: ExactDedup.flag on a
     * string column hashes its UTF-8 encoding, and the pipeline's content
-    * column is concat(sha2(bytes), caption) (DedupPipeline.scala:75).
+    * column is sha2(bytes) || nullSafe(caption) (DedupPipeline.content).
     * State per distinct payload is this single 32-byte digest, never the
     * image bytes.
     */
   def contentDigest: Column =
-    sha2(encode(concat(sha2(col("bytes"), 256), col("caption")), "UTF-8"), 256)
+    sha2(encode(concat(sha2(col("bytes"), 256),
+      DedupPipeline.nullSafeCaption(col("caption"))), "UTF-8"), 256)
 
   /** File-source stream over an images-table directory; first arrival of
     * each distinct content passes, later copies are dropped. Without an
