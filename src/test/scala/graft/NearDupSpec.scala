@@ -70,6 +70,61 @@ class NearDupSpec extends AnyFunSuite with SparkTestBase {
     assert(got == brute)
   }
 
+  test("hamming two-level == flat differential, r in {3, 4, 6}") {
+    val rnd = new scala.util.Random(77)
+    val base = (0 until 200).map(i => (i.toLong, rnd.nextLong()))
+    val near = base.filter(_._1 % 4 == 0).map { case (id, bits) =>
+      var b = bits
+      (0 until 1 + rnd.nextInt(6)).foreach(_ => b ^= (1L << rnd.nextInt(64)))
+      (id + 5000L, b)
+    }
+    val df = (base ++ near).toDF("id", "bits")
+    for (r <- Seq(3, 4, 6)) {
+      val two = Hamming.pairsTwoLevel(df, r).as[(Long, Long, Int)].collect().toSet
+      val flat = Hamming.pairsFlat(df, r).as[(Long, Long, Int)].collect().toSet
+      assert(two == flat, s"r=$r")
+    }
+  }
+
+  test("hamming skew: a hot shared wide-block value stays sub-quadratic and exact") {
+    // 20k fingerprints all sharing block 0 (the low 22 bits at r=4) -- the
+    // shape that makes the flat 13-bit-block join go quadratic (one bucket
+    // holding every row). The two-level scheme splits the hot bucket by
+    // complement sub-blocks; this must return the exact answer in seconds,
+    // not enumerate 4e8 candidates.
+    val rnd = new scala.util.Random(99)
+    val hot = 0x2ABCDEL // shared low-22-bit block value
+    val n = 20000
+    val bits = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      bits(i) = (rnd.nextLong() << 22) | hot
+      if (i % 100 == 99) { // plant near pairs with <= 4 flipped high bits
+        var b = bits(i - 1)
+        (0 until 1 + rnd.nextInt(4)).foreach(_ => b ^= (1L << (22 + rnd.nextInt(42))))
+        bits(i) = b
+      }
+      i += 1
+    }
+    val radius = 4
+    val brute = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    var a = 0
+    while (a < n) {
+      var b = a + 1
+      while (b < n) {
+        val d = java.lang.Long.bitCount(bits(a) ^ bits(b))
+        if (d <= radius) brute += ((a.toLong, b.toLong, d))
+        b += 1
+      }
+      a += 1
+    }
+    val got = Hamming.pairs(
+      (0 until n).map(j => (j.toLong, bits(j))).toDF("id", "bits"), radius)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute.toSet)
+    assert(got.nonEmpty) // the planted pairs were actually exercised
+  }
+
   test("simhash: identical docs equal, near docs close, distinct docs far") {
     val r = new scala.util.Random(31)
     val t1 = (0 until 60).map(_ => words(r.nextInt(words.length))).mkString(" ")
