@@ -19,6 +19,7 @@ import graft.operators._
 object SparkEntry {
 
   val MinLen = 32
+  val MinLenTok = 8
   val ShingleN = 5
 
   // ---- shared deterministic input constructions ----
@@ -215,6 +216,12 @@ object SparkEntry {
     // A2 + F1: sort-scan substring dedup (differential plan, same oracle).
     "a2_remove_ranges_sortscan" -> ((s, dir) =>
       SubstringDedup.removeRangesSortScan(docsWithDups(s, dir), MinLen)),
+
+    // C2: token-unit substring dedup -- minLen counted in whitespace
+    // tokens over rolling 61-bit token-id hashes, token-exact verified
+    // (the reference's u16/u32 tokenized-indexing surface).
+    "a1_remove_ranges_tokens" -> ((s, dir) =>
+      SubstringDedup.removeRangesTokens(docsWithDups(s, dir), MinLenTok)),
 
     // A6: dup-ptr enumeration with dropped flags.
     "a6_dup_ptrs" -> ((s, dir) =>
@@ -474,6 +481,36 @@ object SparkEntry {
 
     "a1_remove_ranges" -> removeRangesOracle(docsWithDupsSql),
     "a2_remove_ranges_sortscan" -> removeRangesOracle(docsWithDupsSql),
+
+    // token-window equality expressed as equality of the space-joined
+    // token slice (tokens are split on ' ', so the join is unambiguous)
+    "a1_remove_ranges_tokens" ->
+      s"""WITH docs AS ($docsWithDupsSql),
+         |tok AS (SELECT k, list_filter(string_split(text, ' '), t -> t <> '') AS ws FROM docs),
+         |pos AS (
+         |  SELECT k, ws, unnest(generate_series(0, len(ws) - $MinLenTok)) AS pos
+         |  FROM tok WHERE len(ws) >= $MinLenTok
+         |),
+         |keyed AS (
+         |  SELECT k, pos, array_to_string(list_slice(ws, pos + 1, pos + $MinLenTok), ' ') AS w
+         |  FROM pos
+         |),
+         |ranked AS (
+         |  SELECT k, pos, row_number() OVER (PARTITION BY w ORDER BY k, pos) AS rn FROM keyed
+         |),
+         |removable AS (SELECT k, pos FROM ranked WHERE rn > 1),
+         |flagged AS (
+         |  SELECT k, pos,
+         |         CASE WHEN lag(pos) OVER (PARTITION BY k ORDER BY pos) IS NULL
+         |                OR pos > lag(pos) OVER (PARTITION BY k ORDER BY pos) + $MinLenTok
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM removable
+         |),
+         |isl AS (
+         |  SELECT k, pos, sum(brk) OVER (PARTITION BY k ORDER BY pos) AS island FROM flagged
+         |)
+         |SELECT k, CAST(min(pos) AS BIGINT) AS s, CAST(max(pos) + $MinLenTok AS BIGINT) AS e
+         |FROM isl GROUP BY k, island""".stripMargin,
 
     "a6_dup_ptrs" ->
       s"""WITH docs AS ($docsWithDupsSql),

@@ -118,6 +118,45 @@ object PolyHash {
     (o1, o2)
   }
 
+  /** Both bases' window hashes over a stream of LONG digits (token ids)
+    * instead of bytes -- the token-unit generalization of windowHashes2
+    * (the reference templates its engine over u8/u16/u32 units,
+    * cpp_engine_dedup.h:70-77; token ids here are 61-bit hashes so one
+    * code path covers any vocabulary size). Digits are reduced mod P;
+    * same rolling recurrence, O(1) per position.
+    */
+  def windowHashesLongs2(digits: Array[Long], winLen: Int): (Array[Long], Array[Long]) = {
+    val n = digits.length
+    if (n < winLen) return (Array.emptyLongArray, Array.emptyLongArray)
+    val o1 = new Array[Long](n - winLen + 1)
+    val o2 = new Array[Long](n - winLen + 1)
+    val top1 = powmod(B1, (winLen - 1).toLong)
+    val top2 = powmod(B2, (winLen - 1).toLong)
+    @inline def digit(i: Int): Long = {
+      val d = digits(i) % P
+      if (d < 0) d + P else d
+    }
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < winLen) {
+      val c = digit(i)
+      h1 = addmod(mulmod(h1, B1), c)
+      h2 = addmod(mulmod(h2, B2), c)
+      i += 1
+    }
+    o1(0) = h1; o2(0) = h2
+    var p = 0
+    while (p < n - winLen) {
+      val out = digit(p)
+      val in = digit(p + winLen)
+      h1 = addmod(mulmod(submod(h1, mulmod(out, top1)), B1), in)
+      h2 = addmod(mulmod(submod(h2, mulmod(out, top2)), B2), in)
+      p += 1
+      o1(p) = h1; o2(p) = h2
+    }
+    (o1, o2)
+  }
+
   /** splitmix64 finalizer -- used to derive k independent MinHash
     * permutations from one 64-bit shingle hash (seeded re-mix), and as a
     * generic portable scrambler. Public-domain algorithm (Steele et al.).

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -172,15 +172,20 @@ object SubstringDedup {
     * min_element-of-run keep rule (h:239-246). Output
     * (k, pos, keep_k, keep_pos) for every non-first run member.
     */
-  private def sortScanCandidates(docs: DataFrame, minLen: Int): DataFrame = {
-    val spark = docs.sparkSession
+  private def sortScanCandidates(docs: DataFrame, minLen: Int): DataFrame =
+    runScan(windows(docs, minLen))
+
+  /** Adjacent-run scan over any (h1, h2, k, pos) window frame.
+    * HASH repartition, not range: equal (h1,h2) keys co-locate either way
+    * (all we need -- the reference's run-aligned boundary rule, h:324-338),
+    * but RangePartitioner runs a separate sampling job over the input,
+    * i.e. a second full window-generation pass. Hash keys are uniform by
+    * construction, so hash partitioning is also perfectly balanced.
+    */
+  private def runScan(win: DataFrame): DataFrame = {
+    val spark = win.sparkSession
     import spark.implicits._
-    // HASH repartition, not range: equal (h1,h2) keys co-locate either way
-    // (all we need -- the reference's run-aligned boundary rule, h:324-338),
-    // but RangePartitioner runs a separate sampling job over the input,
-    // i.e. a second full window-generation pass. Hash keys are uniform by
-    // construction, so hash partitioning is also perfectly balanced.
-    windows(docs, minLen)
+    win
       .repartition(col("h1"), col("h2"))
       .sortWithinPartitions("h1", "h2", "k", "pos")
       .as[(Long, Long, Long, Long)]
@@ -318,6 +323,93 @@ object SubstringDedup {
         }
       }
       .toDF("k", "pos", "violation")
+  }
+
+  // ---- token-unit mode (reference C2) ----
+
+  /** Whitespace tokenization shared by the token-mode window generator and
+    * its verifier; matches `list_filter(string_split(text, ' '), ...)` so
+    * the DuckDB oracle sees the identical token stream.
+    */
+  private def tokensOf(text: String): Array[String] =
+    text.split(' ').filter(_.nonEmpty)
+
+  /** One row per in-doc TOKEN window position: (h1, h2, k, pos), pos a
+    * 0-based token offset. The reference templates its whole engine over
+    * the unit type (u8 bytes / u16 gpt2 / u32 llama token streams,
+    * cpp_engine_dedup.h:70-77; tokenized indexing
+    * indexing_v6_sharded.py:205-218, 261-290) with min_len counted in
+    * units; this is the same generalization -- the window machinery rolls
+    * over 61-bit token ids instead of bytes. Token id = polyhash of the
+    * token's UTF-8 bytes: a pure function of the token, so no vocabulary
+    * table is built, broadcast, or synchronized (any id collision is
+    * caught by token-level verification, mirroring verifyBytes).
+    *
+    * `reversed`: the reference's --reversed indexes the mirrored stream
+    * (suffix-vs-prefix duplication); windows are generated over the
+    * reversed token sequence and `pos` reports the REVERSED-stream offset,
+    * so first-occurrence keep order matches the reference's reversed scan.
+    */
+  def tokenWindows(docs: DataFrame, minLenTok: Int, reversed: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("k").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (k, text) =>
+          val ws = tokensOf(text)
+          val digits = new Array[Long](ws.length)
+          var i = 0
+          while (i < ws.length) {
+            val b = ws(if (reversed) ws.length - 1 - i else i)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            digits(i) = PolyHash.hash(b, 0, b.length, PolyHash.B1)
+            i += 1
+          }
+          val (h1, h2) = PolyHash.windowHashesLongs2(digits, minLenTok)
+          Iterator.range(0, h1.length).map(i => (h1(i), h2(i), k, i.toLong))
+        }
+      }
+      .toDF("h1", "h2", "k", "pos")
+  }
+
+  /** Token-level candidate verification (the verifyBytes analogue): the
+    * actual minLenTok-token slice at each candidate and its keeper are
+    * re-extracted and compared by sha2 digest of the NUL-joined tokens --
+    * a 61-bit token-id collision can never remove a non-duplicate window.
+    */
+  private def verifyTokenCandidates(docs: DataFrame, candidates: DataFrame,
+                                    minLenTok: Int, reversed: Boolean): DataFrame = {
+    val toks0 = filter(split(col("text"), " "), x => x =!= "")
+    val toksDf = docs.select(
+      col("k").cast("long").as("vk"),
+      (if (reversed) reverse(toks0) else toks0).as("vt"))
+    def digest(posCol: Column): Column =
+      sha2(encode(concat_ws(" ", slice(col("vt"), posCol + 1, lit(minLenTok))), "UTF-8"), 256)
+    candidates
+      .join(toksDf, col("k") === col("vk"))
+      .withColumn("wd_self", digest(col("pos")))
+      .drop("vk", "vt")
+      .join(toksDf, col("keep_k") === col("vk"))
+      .withColumn("wd_keep", digest(col("keep_pos")))
+      .where(col("wd_self") === col("wd_keep"))
+      .select("k", "pos")
+  }
+
+  /** Token-unit remove ranges: docs(k, text) -> (k, s, e) in TOKEN
+    * offsets over the (optionally reversed) whitespace token stream --
+    * C2's find_remove_ranges for tokenized corpora. Same sort-scan spine
+    * and gaps-and-islands coalescing as the byte path; verification is
+    * token-exact by default.
+    */
+  def removeRangesTokens(docs: DataFrame, minLenTok: Int,
+                         verify: Boolean = true, reversed: Boolean = false): DataFrame = {
+    val cand = runScan(tokenWindows(docs, minLenTok, reversed))
+    val removable =
+      if (verify) verifyTokenCandidates(docs, cand, minLenTok, reversed)
+      else cand.select("k", "pos")
+    coalesceRanges(removable, minLenTok)
   }
 
   /** Diagnostics (reference find_dup_ptrs, h:801-837): every member of a

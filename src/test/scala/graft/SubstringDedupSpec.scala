@@ -52,6 +52,49 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** Token-mode brute oracle: first-occurrence keep over minLenTok-token
+    * windows of the (optionally reversed) whitespace token stream,
+    * interval union in token offsets.
+    */
+  private def bruteTokenRanges(docs: Seq[(Long, String)], minLenTok: Int,
+                               reversed: Boolean): Set[(Long, Long, Long)] = {
+    val toks = docs.map { case (k, t) =>
+      val ws = t.split(' ').filter(_.nonEmpty)
+      (k, if (reversed) ws.reverse else ws)
+    }
+    val seen = scala.collection.mutable.Set.empty[Seq[String]]
+    val removable = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    for ((k, ws) <- toks.sortBy(_._1); pos <- 0 to ws.length - minLenTok) {
+      val w = ws.slice(pos, pos + minLenTok).toSeq
+      if (seen(w)) removable += ((k, pos)) else seen += w
+    }
+    removable.groupBy(_._1).flatMap { case (k, ps) =>
+      val sorted = ps.map(_._2).sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var s = sorted.head; var e = sorted.head + minLenTok
+      for (p <- sorted.tail) {
+        if (p <= e) e = p + minLenTok
+        else { out += ((k, s.toLong, e.toLong)); s = p; e = p + minLenTok }
+      }
+      out += ((k, s.toLong, e.toLong))
+      out
+    }.toSet
+  }
+
+  test("token-unit dedup (C2): forward and reversed match brute force") {
+    val words = "aa bb cc dd ee".split(" ")
+    val r = new scala.util.Random(5)
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (0 until r.nextInt(30)).map(_ => words(r.nextInt(words.length))).mkString(" "))
+    }
+    val df = spark_(docs)
+    for (rev <- Seq(false, true); verify <- Seq(true, false)) {
+      val got = SubstringDedup.removeRangesTokens(df, 4, verify = verify, reversed = rev)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == bruteTokenRanges(docs, 4, rev), s"reversed=$rev verify=$verify")
+    }
+  }
+
   test("A9 index-order verification: sorted window frame has no violations") {
     for (seed <- Seq(1, 4)) {
       val docs = spark_(randomDocs(seed, 40, "ab")) // dense duplicate runs
