@@ -235,6 +235,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_ptrs"),
           min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))),
 
+    // A7 full: dup-doc assembly with the actual text slices per pointer
+    // (the reference DupDoc payload feeding the B10 renderer).
+    "a7_dup_doc_slices" -> ((s, dir) =>
+      SubstringDedup.dupDocSlices(docsWithDups(s, dir), SubstringDedup.Config(MinLen))),
+
     // E5: corpus-level removal stats (diff-ratio metrics).
     "e5_removed_ratio" -> ((s, dir) => {
       val docs = docsWithDups(s, dir)
@@ -540,6 +545,22 @@ object SparkEntry {
          |SELECT k, count(*) AS n_ptrs,
          |       CAST(min(pos) AS BIGINT) AS min_pos, CAST(max(pos) AS BIGINT) AS max_pos
          |FROM ranked WHERE rn > 1 GROUP BY k""".stripMargin,
+
+    "a7_dup_doc_slices" ->
+      s"""WITH docs AS ($docsWithDupsSql),
+         |pos AS (
+         |  SELECT k, text, unnest(generate_series(0, length(text) - $MinLen)) AS pos
+         |  FROM docs WHERE length(text) >= $MinLen
+         |),
+         |ranked AS (
+         |  SELECT k, text, pos,
+         |         row_number() OVER (PARTITION BY substr(text, pos + 1, $MinLen) ORDER BY k, pos) AS rn,
+         |         count(*) OVER (PARTITION BY substr(text, pos + 1, $MinLen)) AS c
+         |  FROM pos
+         |)
+         |SELECT k, CAST(pos AS BIGINT) AS pos, rn > 1 AS dropped,
+         |       substr(text, pos + 1, $MinLen) AS snippet
+         |FROM ranked WHERE c > 1""".stripMargin,
 
     "e5_removed_ratio" ->
       s"""WITH ranges AS (${removeRangesOracle(docsWithDupsSql)}),

@@ -325,6 +325,21 @@ object SubstringDedup {
       .toDF("k", "pos", "violation")
   }
 
+  /** A7 full dup-doc assembly (reference find_dup_docs,
+    * cpp_engine_dedup.h:839-867): every duplicate-group pointer joined
+    * back to its document with the actual window bytes sliced out --
+    * (k, pos, dropped, snippet). The reference returns each dup doc's
+    * text plus per-ptr spans with kept/dropped flags for its diagnostic
+    * renderer (find_dup_docs.cpp:18-68); this is that payload in flat
+    * form (one row per span), feeding graft.Render for the B10 overlay.
+    */
+  def dupDocSlices(docs: DataFrame, cfg: Config): DataFrame =
+    dupPtrs(docs, cfg)
+      .join(docs.select(col("k").cast("long"),
+        encode(col("text"), "UTF-8").as("vb")), Seq("k"))
+      .select(col("k"), col("pos"), col("dropped"),
+        decode(expr(s"substring(vb, pos + 1, ${cfg.minLen})"), "UTF-8").as("snippet"))
+
   // ---- token-unit mode (reference C2) ----
 
   /** Whitespace tokenization shared by the token-mode window generator and

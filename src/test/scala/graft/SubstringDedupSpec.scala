@@ -95,6 +95,31 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("A7 slices + B10 render: dropped spans carry the actual window text and paint red") {
+    val dup = "0123456789abcdefghij" // 20 bytes, minLen 10
+    val docs = Seq((1L, s"$dup and a tail unique to doc one"),
+                   (2L, s"prefix two $dup suffix <two>"))
+    val df = spark_(docs)
+    val slices = SubstringDedup.dupDocSlices(df, SubstringDedup.Config(10))
+      .as[(Long, Long, Boolean, String)].collect()
+    // every dropped slice in doc 2 must be an actual substring of doc 2
+    val dropped = slices.filter(s => s._1 == 2L && s._3)
+    assert(dropped.nonEmpty)
+    dropped.foreach { case (_, pos, _, snip) =>
+      assert(docs(1)._2.substring(pos.toInt, pos.toInt + 10) == snip)
+    }
+    // doc 1 holds the kept (first-occurrence) copies
+    assert(slices.filter(s => s._1 == 1L).forall(!_._3))
+
+    val ann = SubstringDedup.annotate(df, SubstringDedup.Config(10))
+    val ansi = Render.annotated(ann)
+    assert(ansi.contains("[31m")) // a red (removed) span exists
+    assert(ansi.contains(dup)) // the duplicated run is painted
+    val html = Render.annotated(ann, html = true)
+    assert(html.contains("""<span class="dropped">"""))
+    assert(html.contains("&lt;two&gt;")) // escaping
+  }
+
   test("A9 index-order verification: sorted window frame has no violations") {
     for (seed <- Seq(1, 4)) {
       val docs = spark_(randomDocs(seed, 40, "ab")) // dense duplicate runs
