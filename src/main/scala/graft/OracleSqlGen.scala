@@ -222,39 +222,47 @@ object OracleSqlGen {
        |         FROM pd JOIN norms na ON na.id = pd.a JOIN norms nb ON nb.id = pd.b)
        |SELECT a, b, round(sim, 6) AS sim FROM sims WHERE sim >= $threshold""".stripMargin
 
-  /** Oracle for AnnCosine.ivfTopKInt: seed centroids = the nCells
-    * lowest-id vectors; one Lloyd round with floor(mean + 0.5)
+  /** Oracle for AnnCosine.ivfTopKInt: seed centroids = a deterministic
+    * uniform sample (the nCells smallest SIGNED mix64(id ^ IvfSampleSalt)
+    * keys, ties on id -- the same sample Spark's distributed top-k
+    * draws); `rounds` Lloyd iterations with floor(mean + 0.5)
     * re-integerization (floor, not round: round-half rules differ across
     * engines on negatives); queries (id < nQueries) probe their nProbe
     * nearest cells; exact cosine re-rank. Every distance is integer
-    * arithmetic, so the assignment, probes, and ordering are
-    * bit-identical across engines.
+    * arithmetic, so the sample, every assignment round, the probes, and
+    * the final ordering are bit-identical across engines.
     */
   def ivfTopKSql(nQueries: Int, dim: Int, nCells: Int, nProbe: Int,
-                 k: Int): String =
+                 k: Int, rounds: Int = 1): String = {
+    val salt = s"${unsigned(graft.operators.AnnCosine.IvfSampleSalt)}::HUGEINT"
+    val lloyd = (0 until rounds).map { r =>
+      s"""d$r AS (SELECT c.id, ct.cell, sum((c.v - ct.v) * (c.v - ct.v)) AS d
+         |       FROM comp c JOIN cent$r ct ON ct.j = c.j GROUP BY c.id, ct.cell),
+         |a$r AS (SELECT id, cell FROM (
+         |         SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn FROM d$r
+         |       ) WHERE rn = 1),
+         |upd$r AS (SELECT a$r.cell, c.j, floor(CAST(sum(c.v) AS DOUBLE) / count(*) + 0.5) AS v
+         |        FROM a$r JOIN comp c ON c.id = a$r.id GROUP BY a$r.cell, c.j),
+         |cent${r + 1} AS (SELECT c0.cell, c0.j, CAST(coalesce(u.v, c0.v) AS BIGINT) AS v
+         |          FROM cent$r c0 LEFT JOIN upd$r u ON u.cell = c0.cell AND u.j = c0.j)""".stripMargin
+    }.mkString(",\n")
     s"""WITH ${intVecCtes(dim, "id", "0")},
-       |seeds AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS cell
-       |          FROM ids ORDER BY id LIMIT $nCells),
+       |sdz AS (SELECT id, ${xor("id::HUGEINT", salt)} AS z0 FROM ids),
+       |${mixCtes("sdz", "z0", "skey", "sd")},
+       |seeds AS (SELECT id, row_number() OVER (ORDER BY ${signed("skey")}, id) - 1 AS cell
+       |          FROM sd3 QUALIFY cell < $nCells),
        |cent0 AS (SELECT s.cell, c.j, c.v FROM seeds s JOIN comp c ON c.id = s.id),
-       |d0 AS (SELECT c.id, ct.cell, sum((c.v - ct.v) * (c.v - ct.v)) AS d
-       |       FROM comp c JOIN cent0 ct ON ct.j = c.j GROUP BY c.id, ct.cell),
-       |a0 AS (SELECT id, cell FROM (
-       |         SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn FROM d0
-       |       ) WHERE rn = 1),
-       |upd AS (SELECT a0.cell, c.j, floor(CAST(sum(c.v) AS DOUBLE) / count(*) + 0.5) AS v
-       |        FROM a0 JOIN comp c ON c.id = a0.id GROUP BY a0.cell, c.j),
-       |cent1 AS (SELECT c0.cell, c0.j, CAST(coalesce(u.v, c0.v) AS BIGINT) AS v
-       |          FROM cent0 c0 LEFT JOIN upd u ON u.cell = c0.cell AND u.j = c0.j),
-       |d1 AS (SELECT c.id, ct.cell, sum((c.v - ct.v) * (c.v - ct.v)) AS d
-       |       FROM comp c JOIN cent1 ct ON ct.j = c.j GROUP BY c.id, ct.cell),
-       |a1 AS (SELECT id, cell FROM (
-       |         SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn FROM d1
+       |$lloyd,
+       |dF AS (SELECT c.id, ct.cell, sum((c.v - ct.v) * (c.v - ct.v)) AS d
+       |       FROM comp c JOIN cent$rounds ct ON ct.j = c.j GROUP BY c.id, ct.cell),
+       |aF AS (SELECT id, cell FROM (
+       |         SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn FROM dF
        |       ) WHERE rn = 1),
        |probes AS (SELECT id AS qid, cell FROM (
        |             SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
-       |             FROM d1 WHERE id < $nQueries
+       |             FROM dF WHERE id < $nQueries
        |           ) WHERE rn <= $nProbe),
-       |cand AS (SELECT p.qid, a.id FROM probes p JOIN a1 a ON a.cell = p.cell AND a.id <> p.qid),
+       |cand AS (SELECT p.qid, a.id FROM probes p JOIN aF a ON a.cell = p.cell AND a.id <> p.qid),
        |pd AS (SELECT cd.qid, cd.id, sum(a.v * b.v) AS d
        |       FROM cand cd JOIN comp a ON a.id = cd.qid
        |       JOIN comp b ON b.id = cd.id AND b.j = a.j
@@ -264,6 +272,7 @@ object OracleSqlGen {
        |         FROM pd JOIN norms nq ON nq.id = pd.qid JOIN norms nc ON nc.id = pd.id)
        |SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS INT) AS rn
        |FROM sims QUALIFY rn <= $k""".stripMargin
+  }
 
   /** Sanity self-check used by tests: mix64 in Scala == reference. */
   def mix64Ref(z: Long): Long = PolyHash.mix64(z)

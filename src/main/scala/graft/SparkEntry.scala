@@ -404,16 +404,18 @@ object SparkEntry {
         .select("qid", "id", "rn")
     }),
 
-    // ANN scale path #2: IVF (inverted-file) cell partitioning -- tiny
-    // integer-re-quantized coarse centroids, nProbe-cell candidate
-    // generation, exact re-rank; same integer-exactness contract as
-    // ann_lsh_topk, so the full result has a DuckDB oracle.
+    // ANN scale path #2: IVF (inverted-file) cell partitioning --
+    // integer-re-quantized coarse centroids trained DISTRIBUTED (sampled
+    // deterministic init + 2 Lloyd rounds as (cell, j) aggregations),
+    // nProbe-cell candidate generation, exact re-rank; same
+    // integer-exactness contract as ann_lsh_topk, so the full result
+    // (including the trained quantizer) has a DuckDB oracle.
     "ann_ivf_topk" -> ((s, dir) => {
       val vecs = intVecs(s, dir)
       AnnCosine.ivfTopKInt(
         vecs.where(col("id") < 5).select(col("id").as("qid"), col("vec")),
         vecs.select(col("id"), col("vec")),
-        10, nCells = 8, nProbe = 2)
+        10, nCells = 64, nProbe = 4, rounds = 2)
         .select("qid", "id", "rn")
     }),
 
@@ -745,7 +747,7 @@ object SparkEntry {
       OracleSqlGen.annLshTopKSql(5, AnnDim, AnnTables, AnnPlaneBits, 10),
 
     "ann_ivf_topk" ->
-      OracleSqlGen.ivfTopKSql(5, AnnDim, 8, 2, 10),
+      OracleSqlGen.ivfTopKSql(5, AnnDim, 64, 4, 10, rounds = 2),
 
     "emb_neardup_pairs" ->
       OracleSqlGen.embNearDupPairsSql(AnnDim, AnnTables, AnnPlaneBits, 0.9),

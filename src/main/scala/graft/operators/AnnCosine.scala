@@ -175,28 +175,46 @@ object AnnCosine {
       .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rn"))
   }
 
-  /** IVF (inverted-file) ANN, the cell-partitioned scale path: a tiny
-    * coarse quantizer (nCells centroids: the nCells lowest-id vectors,
-    * refined by one Lloyd round) partitions the corpus into cells; a
+  /** Salt for the deterministic seed SAMPLE: seeds are the nCells vectors
+    * with the smallest (mix64(id ^ salt), id) key -- a uniform pseudo-
+    * random sample of the corpus (the standard k-means init), selected by
+    * a DISTRIBUTED top-k (TakeOrdered), never a full sort or collect.
+    * Shared with OracleSqlGen.ivfTopKSql so the SQL oracle draws the
+    * identical sample. Ordering is over SIGNED mix64 values (Spark Longs).
+    */
+  val IvfSampleSalt: Long = 0x15F5EEDL
+
+  /** IVF (inverted-file) ANN, the cell-partitioned scale path: a coarse
+    * quantizer of nCells centroids partitions the corpus into cells; a
     * query probes only its nProbe nearest cells and exact-reranks the
-    * candidates. The centroid table is O(nCells x dim) -- broadcast by
-    * construction; the corpus is touched in two full map passes (assign)
-    * plus one narrow (cell, j) aggregation, never joined to itself.
+    * candidates. Training is distributed end to end:
+    *  - init: a deterministic uniform SAMPLE of nCells corpus vectors
+    *    (smallest mix64(id ^ salt) keys, distributed top-k) -- at real
+    *    scale nCells ~ sqrt(N) and the seed pull stays O(nCells x dim);
+    *  - `rounds` Lloyd iterations, each one broadcast-assign map pass
+    *    plus one narrow (cell, j) mean aggregation; only the
+    *    nCells x dim centroid table ever reaches the driver.
     *
     * Integer-exactness contract (same as lshTopKInt): intended for
     * integer-valued vectors; refined centroids are re-integerized with
-    * floor(mean + 0.5), so every L2 distance, every probe choice, and
+    * floor(mean + 0.5) (NOT round(): round-half rules differ between
+    * engines on negatives), so every L2 distance, every probe choice, and
     * the final cosine ordering is exact integer-derived arithmetic,
     * reproducible bit-for-bit in SQL (OracleSqlGen.ivfTopKSql).
     */
   def ivfTopKInt(queries: DataFrame, corpus: DataFrame, k: Int,
-                 nCells: Int, nProbe: Int): DataFrame = {
+                 nCells: Int, nProbe: Int, rounds: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col("id").cast("long"), col("vec").cast("array<double>"))
       .as[(Long, Array[Double])]
-    // seed centroids: the nCells lowest-id vectors (deterministic)
-    val cent0: Array[Array[Double]] = c.orderBy("id").limit(nCells).collect().map(_._2)
+    // seed centroids: deterministic sampled init (distributed top-k)
+    val cent0: Array[Array[Double]] = c
+      .map { case (id, v) => (PolyHash.mix64(id ^ IvfSampleSalt), id, v) }
+      .toDF("skey", "id", "vec")
+      .orderBy("skey", "id").limit(nCells)
+      .select("id", "vec").as[(Long, Array[Double])]
+      .collect().map(_._2)
 
     def l2sq(v: Array[Double], ct: Array[Double]): Double = {
       var d = 0.0; var j = 0
@@ -214,23 +232,26 @@ object AnnCosine {
         (id, best)
       }.toDF("id", "cell")
 
-    // one Lloyd round; floor(mean + 0.5) (NOT round(): round-half rules
-    // differ between engines on negatives) keeps centroids integer
-    val updated = assign(cent0)
-      .join(c.toDF("id", "vec"), "id")
-      .select(col("cell"), posexplode(col("vec")).as(Seq("j", "v")))
-      .groupBy("cell", "j")
-      .agg(floor(sum(col("v")) / count(lit(1)) + lit(0.5)).as("v"))
-      .as[(Int, Int, Long)].collect()
-    val cent1 = cent0.map(_.clone()) // empty cells keep their seed centroid
-    updated.foreach { case (cell, j, v) => cent1(cell)(j) = v.toDouble }
+    var cents = cent0
+    for (_ <- 0 until rounds) {
+      val updated = assign(cents)
+        .join(c.toDF("id", "vec"), "id")
+        .select(col("cell"), posexplode(col("vec")).as(Seq("j", "v")))
+        .groupBy("cell", "j")
+        .agg(floor(sum(col("v")) / count(lit(1)) + lit(0.5)).as("v"))
+        .as[(Int, Int, Long)].collect()
+      val next = cents.map(_.clone()) // empty cells keep their centroid
+      updated.foreach { case (cell, j, v) => next(cell)(j) = v.toDouble }
+      cents = next
+    }
 
-    val cells = assign(cent1)
+    val cells = assign(cents)
     val qs = queries.select(col("qid").cast("long"), col("vec").cast("array<double>"))
       .as[(Long, Array[Double])]
+    val centsFinal = cents
     val probes = qs.flatMap { case (qid, v) =>
-      cent1.indices
-        .map(ci => (l2sq(v, cent1(ci)), ci))
+      centsFinal.indices
+        .map(ci => (l2sq(v, centsFinal(ci)), ci))
         .sorted.take(nProbe) // (distance, cell) ascending: ties -> low cell
         .map { case (_, ci) => (qid, ci) }
     }.toDF("qid", "cell")
