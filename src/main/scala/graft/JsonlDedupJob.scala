@@ -61,18 +61,24 @@ object JsonlDedupJob {
     * FileIndex performs; URI percent-encoding is undone by toUri.getPath,
     * so names with spaces/escapes survive the prefix strip.
     */
-  def listTree(spark: SparkSession, inDir: String): Seq[String] = {
+  def listTree(spark: SparkSession, inDir: String): Seq[String] =
+    listTreeWithLen(spark, inDir).map(_._1)
+
+  /** listTree plus each file's byte length (free from the same listing;
+    * drives the splittable-ingest chunking).
+    */
+  def listTreeWithLen(spark: SparkSession, inDir: String): Seq[(String, Long)] = {
     val root = new Path(inDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootPath = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
     val it = fs.listFiles(root, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile) {
         val abs = st.getPath.toUri.getPath
         require(abs.startsWith(rootPath + "/"), s"listed file $abs outside $rootPath")
-        buf += abs.stripPrefix(rootPath + "/")
+        buf += ((abs.stripPrefix(rootPath + "/"), st.getLen))
       }
     }
     require(buf.nonEmpty, s"no input files under $inDir")
@@ -81,14 +87,100 @@ object JsonlDedupJob {
     // both map to "a/x"), so ties break on the raw relative path -- fid
     // assignment, and therefore which copy is the kept first occurrence,
     // stays deterministic across filesystems and listing orders.
-    buf.sortBy(p => (orderKey(p), p)).toSeq
+    buf.sortBy(p => (orderKey(p._1), p._1)).toSeq
+  }
+
+  /** Count of line STARTS inside byte range [start, end) of a plain file:
+    * a line starts at byte 0 and after every '\n' that is not the file's
+    * last byte. Equivalently: (start == 0 ? 1 : 0) + #newlines at
+    * positions [max(0, start-1), end-1) -- p < end-1 <= len-1 implies
+    * p+1 < len, so no end-of-file guard is needed inside the range.
+    * One cheap byte scan, no parsing -- the offset-probe pass that makes
+    * exact global line numbers possible on split files.
+    */
+  private def countLineStarts(in: org.apache.hadoop.fs.FSDataInputStream,
+                              start: Long, end: Long): Long = {
+    var n = if (start == 0) 1L else 0L
+    val from = if (start == 0) 0L else start - 1
+    in.seek(from)
+    var pos = from
+    val buf = new Array[Byte](1 << 16)
+    while (pos < end - 1) {
+      val r = in.read(buf, 0, math.min(buf.length.toLong, end - 1 - pos).toInt)
+      if (r <= 0) pos = end
+      else {
+        var i = 0
+        while (i < r) { if (buf(i) == '\n') n += 1; i += 1 }
+        pos += r
+      }
+    }
+    n
+  }
+
+  /** (linenum, line) iterator over the lines STARTING in [start, end) of a
+    * plain (uncompressed) file -- the splittable-read unit. Semantics
+    * match the whole-file reader: '\n' terminates (a trailing '\r' is
+    * stripped, so \r\n works; bare-\r files are not split-safe), the
+    * unterminated tail line belongs to the chunk its first byte starts
+    * in, blank lines advance linenum but emit nothing.
+    */
+  private final class ChunkLines(in: org.apache.hadoop.fs.FSDataInputStream,
+                                 start: Long, end: Long, startLn: Long,
+                                 relPath: String) extends Iterator[(Long, String)] {
+    private val buf = new Array[Byte](1 << 16)
+    private var bl = 0
+    private var bp = 0
+    private var pos = if (start == 0) 0L else start - 1
+    in.seek(pos)
+    private def fill(): Boolean =
+      bp < bl || { bl = in.read(buf); bp = 0; bl > 0 }
+    // discard the partial line owned by the previous chunk
+    if (start > 0) {
+      var done = false
+      while (!done && fill()) {
+        val c = buf(bp); bp += 1; pos += 1
+        if (c == '\n') done = true
+      }
+    }
+    private var ln = startLn - 1
+    private var nextLine: String = advance()
+    @annotation.tailrec
+    private def advance(): String = {
+      if (pos >= end || !fill()) null // next line starts past our range / EOF
+      else {
+        val sb = new java.io.ByteArrayOutputStream(256)
+        var terminated = false
+        while (!terminated && fill()) {
+          val c = buf(bp); bp += 1; pos += 1
+          if (c == '\n') terminated = true else sb.write(c)
+        }
+        ln += 1
+        require(ln < (1L << LinenumBits), s"$relPath exceeds 2^$LinenumBits lines")
+        var s = sb.toString("UTF-8")
+        if (s.nonEmpty && s.charAt(s.length - 1) == '\r') s = s.substring(0, s.length - 1)
+        if (s.trim.nonEmpty) s else advance()
+      }
+    }
+    def hasNext: Boolean = nextLine != null
+    def next(): (Long, String) = {
+      val out = (ln, nextLine)
+      nextLine = advance()
+      out
+    }
   }
 
   /** Parsed lines with exact (path, linenum) and the stable order key
-    * k = fid << 40 | linenum. One task per file (gzip/zstd are not
+    * k = fid << 40 | linenum. Gzip/zstd files get one task each (not
     * splittable, and exact line numbers need start-to-finish reads --
-    * the reference's worker-per-shard unit); each file is decompressed
-    * and parsed as a STREAM. Blank lines advance linenum but emit no doc
+    * the reference's worker-per-shard unit); each is decompressed and
+    * parsed as a STREAM. PLAIN files larger than `splitBytes` are SPLIT
+    * at newline boundaries into `splitBytes` chunks: a cheap offset-probe
+    * pass counts line starts per chunk (one byte scan, no parsing), a
+    * driver-side prefix sum over that chunk-count table (metadata-scale:
+    * one row per CHUNK) assigns each chunk its exact starting linenum,
+    * and the read pass runs one task per chunk -- a 400 GB plain shard
+    * parses on ~1600 cores instead of serializing through one task.
+    * Blank lines advance linenum but emit no doc
     * (indexing_v6_sharded.py:21-39 skips empties the same way).
     *
     * `schema`: pass one for trees whose fields drift; by default it is
@@ -97,9 +189,11 @@ object JsonlDedupJob {
     */
   def readTree(spark: SparkSession, inDir: String,
                schema: StructType = null, inferFiles: Int = 16,
-               inferLinesPerFile: Int = 100): DataFrame = {
+               inferLinesPerFile: Int = 100,
+               splitBytes: Long = 256L << 20): DataFrame = {
     import spark.implicits._
-    val rel = listTree(spark, inDir)
+    val relLen = listTreeWithLen(spark, inDir)
+    val rel = relLen.map(_._1)
     // schema: infer from the first `inferLinesPerFile` lines of an evenly
     // spaced sample of files -- bounded BYTES, not bounded files: at
     // corpus scale a single shard can be multi-GB, so "read 16 whole
@@ -132,22 +226,65 @@ object JsonlDedupJob {
     }
     require(sch.fieldNames.contains("text"), "JSONL docs must carry a `text` field")
 
-    val files = rel.zipWithIndex.map { case (p, i) => (i.toLong, p) }
     val hadoopProps = graft.sources.HadoopConfs.snapshot(spark)
-    val lines = spark.createDataset(files).toDF("fid", "path")
-      // explicit numPartitions = one file per task (AQE never coalesces a
-      // REPARTITION_BY_NUM exchange); at most a few files share a task on
-      // fid-hash collision, which only costs a little pipelining
-      .repartition(files.size, col("fid"))
-      .as[(Long, String)]
-      .flatMap { case (fid, relPath) =>
+    // chunk table: whole-file units (end = -1) for compressed or small
+    // files, [start, end) byte ranges for plain files above splitBytes
+    val chunks: Seq[(Long, String, Long, Long)] = relLen.zipWithIndex.flatMap {
+      case ((p, len), i) =>
+        val fid = i.toLong
+        val compressed = p.endsWith(".gz") || p.endsWith(".zst")
+        if (compressed || splitBytes <= 0 || len <= splitBytes)
+          Seq((fid, p, 0L, -1L))
+        else (0L until (len + splitBytes - 1) / splitBytes).map { ci =>
+          (fid, p, ci * splitBytes, math.min((ci + 1) * splitBytes, len))
+        }
+    }
+    // offset probe: exact starting linenum per split chunk. The probe job
+    // returns one (fid, start, nLineStarts) row PER CHUNK -- metadata
+    // scale -- and the per-file prefix sum runs on the driver.
+    val split = chunks.filter(_._4 >= 0)
+    val startLnOf: Map[(Long, Long), Long] =
+      if (split.isEmpty) Map.empty
+      else {
+        val counts = spark.createDataset(split).toDF("fid", "path", "start", "end")
+          .repartition(split.size, col("fid"), col("start"))
+          .as[(Long, String, Long, Long)]
+          .map { case (fid, relPath, s, e) =>
+            val p = new Path(inDir, relPath)
+            val conf = graft.sources.HadoopConfs.build(hadoopProps)
+            val in = p.getFileSystem(conf).open(p)
+            try (fid, s, countLineStarts(in, s, e)) finally in.close()
+          }.collect()
+        counts.toSeq.groupBy(_._1).flatMap { case (fid, cs) =>
+          var acc = 0L
+          cs.sortBy(_._2).map { case (_, s, n) => val r = ((fid, s), acc); acc += n; r }
+        }
+      }
+    val tasks = chunks.map { case (fid, p, s, e) =>
+      (fid, p, s, e, startLnOf.getOrElse((fid, s), 0L))
+    }
+    val lines = spark.createDataset(tasks).toDF("fid", "path", "start", "end", "start_ln")
+      // explicit numPartitions = one chunk per task (AQE never coalesces a
+      // REPARTITION_BY_NUM exchange); at most a few chunks share a task on
+      // hash collision, which only costs a little pipelining
+      .repartition(tasks.size, col("fid"), col("start"))
+      .as[(Long, String, Long, Long, Long)]
+      .flatMap { case (fid, relPath, cs, ce, startLn) =>
         val p = new Path(inDir, relPath)
         val conf = graft.sources.HadoopConfs.build(hadoopProps)
         val fs = p.getFileSystem(conf)
         // 0-byte files occur in real crawl trees; a GZIPInputStream over
         // one throws EOFException at construction -- skip them outright
         if (fs.getFileStatus(p).getLen == 0) Iterator.empty
-        else {
+        else if (ce >= 0) {
+          // splittable path: lines starting in [cs, ce), exact linenums
+          val in = fs.open(p)
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ =>
+              try in.close() catch { case _: java.io.IOException => () }))
+          new ChunkLines(in, cs, ce, startLn, relPath)
+            .map { case (ln, line) => (fid, relPath, ln, line) }
+        } else {
         val raw = fs.open(p)
         val in: InputStream = relPath match {
           case r if r.endsWith(".gz")  => new GZIPInputStream(raw, 1 << 16)

@@ -218,6 +218,36 @@ class JsonlDedupJobSpec extends AnyFunSuite with SparkTestBase {
       ("a.jsonl", 1L, "last line no newline")))
   }
 
+  test("splittable plain ingest: tiny splitBytes == unsplit read, exact linenums, >1 task") {
+    val root = Files.createTempDirectory("graft_split_in")
+    val r = new scala.util.Random(13)
+    // ~600 lines with blanks sprinkled in and NO trailing newline on the
+    // last line -- every split-boundary edge case in one file
+    val lines = (0 until 600).flatMap { i =>
+      val doc = s"""{"text": "doc $i ${"x" * r.nextInt(90)} tail", "meta": "m$i"}"""
+      if (i % 37 == 5) Seq(doc, "") else Seq(doc)
+    }
+    val p = root.resolve("big/part0.jsonl")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, lines.mkString("\n")) // no trailing \n
+    // a small gz sibling keeps the mixed-tree path honest
+    writeGz(root.resolve("big/part1.jsonl.gz"), Seq(
+      """{"text": "gz sibling doc", "meta": "g0"}"""))
+
+    val whole = JsonlDedupJob.readTree(spark, root.toString, splitBytes = 0)
+      .select("path", "linenum", "k", "text", "meta")
+    val split = JsonlDedupJob.readTree(spark, root.toString, splitBytes = 512)
+      .select("path", "linenum", "k", "text", "meta")
+    val fileLen = Files.size(p)
+    assert(fileLen > 5 * 512, "fixture must span many chunks")
+    val w = whole.collect().map(_.toSeq).toSet
+    val s = split.collect().map(_.toSeq).toSet
+    assert(s == w)
+    assert(s.size == 601) // 600 docs + 1 gz sibling; blanks emit nothing
+    // the split read really ran >1 task for the plain file
+    assert(split.rdd.getNumPartitions > 2)
+  }
+
   test("listTree orders by the reference key (crawl= stripped)") {
     val root = Files.createTempDirectory("graft_jsonl_order")
     for (p <- Seq("crawl=b/x.jsonl", "a0/y.jsonl", "crawl=a1/z.jsonl", "b1/w.jsonl"))
