@@ -29,6 +29,9 @@ object DebugPass {
     System.err.println(s"[v] docs=${parsed.count()}")
     time("ranges_verify_on")(SubstringDedup.removeRanges(parsed, SubstringDedup.Config(500)).count())
     time("ranges_verify_off")(SubstringDedup.removeRanges(parsed, SubstringDedup.Config(500, verifyBytes = false)).count())
+    time("ranges_hybrid_on")(SubstringDedup.removeRangesHybrid(parsed, SubstringDedup.Config(500)).count())
+    time("ranges_hybrid_off")(SubstringDedup.removeRangesHybrid(parsed, SubstringDedup.Config(500, verifyBytes = false)).count())
+    time("ranges_adaptive")(SubstringDedup.removeRangesAdaptive(parsed, SubstringDedup.Config(500)).count())
     time("removable_only")(SubstringDedup.removablePositionsSortScan(parsed, 500).count())
     time("windows_only")(SubstringDedup.windows(parsed, 500).count())
     spark.stop()

@@ -182,12 +182,19 @@ object SubstringDedup {
     * i.e. a second full window-generation pass. Hash keys are uniform by
     * construction, so hash partitioning is also perfectly balanced.
     */
-  private def runScan(win: DataFrame): DataFrame = {
-    val spark = win.sparkSession
+  private def runScan(win: DataFrame): DataFrame =
+    adjacentRunScan(
+      win.repartition(col("h1"), col("h2"))
+        .sortWithinPartitions("h1", "h2", "k", "pos"))
+
+  /** The run scan itself: input must be partitioned so equal (h1,h2) rows
+    * co-locate and be sorted by (h1,h2,k,pos) within partitions.
+    */
+  private def adjacentRunScan(sorted: DataFrame): DataFrame = {
+    val spark = sorted.sparkSession
     import spark.implicits._
-    win
-      .repartition(col("h1"), col("h2"))
-      .sortWithinPartitions("h1", "h2", "k", "pos")
+    sorted
+      .select("h1", "h2", "k", "pos")
       .as[(Long, Long, Long, Long)]
       .mapPartitions { it =>
         var ph1 = 0L; var ph2 = 0L; var kk = 0L; var kp = 0L; var first = true
@@ -199,6 +206,86 @@ object SubstringDedup {
         }
       }
       .toDF("k", "pos", "keep_k", "keep_pos")
+  }
+
+  /** Hybrid (prefilter-then-sort) candidates: an h1-only count pass finds
+    * the duplicated window hashes first, then the full window frame is
+    * exchanged ONCE on h1, semi-joined against that dup set co-partitioned
+    * (shuffle-hash, never sort-merge -- SMJ would sort the full frame,
+    * which is exactly what this plan avoids), and only the SURVIVORS are
+    * sorted for the run scan. Equal (h1,h2) windows co-locate under
+    * h1-partitioning, so the scan contract holds.
+    *
+    * MEASURED NEGATIVE RESULT (round 4, 330 MB / 305M positions, ~3% dup
+    * density, minLen=500, local[32], load<3): hybrid 39.8 s vs sort-scan
+    * 18.6 s unverified (48.2 vs 27.0 verified). The h1-count aggregation
+    * is NOT cheap relative to the sort it avoids: hashing 300M mostly-
+    * unique keys into agg tables + the 16 B/row count shuffle + the
+    * second window sweep costs more than sorting everything once. The
+    * sort-scan therefore stays the default at every measured density;
+    * this plan is kept as a documented differential sibling (it would win
+    * only where sort spills dominate and the agg table fits, e.g. much
+    * wider rows per position).
+    *
+    * `dupH1`: optionally a precomputed duplicated-h1 table (col "h1"),
+    * partitioned however; passed by the adaptive chooser so the count
+    * pass is not run twice.
+    */
+  private def hybridCandidates(docs: DataFrame, minLen: Int,
+                               dupH1: Option[DataFrame]): DataFrame = {
+    val dup = dupH1.getOrElse(
+      windows(docs, minLen)
+        .groupBy("h1").agg(count(lit(1)).as("c"))
+        .where(col("c") > 1).select("h1"))
+    val survivors = windows(docs, minLen)
+      .repartition(col("h1"))
+      .join(dup.hint("shuffle_hash"), Seq("h1"), "leftsemi")
+      .sortWithinPartitions("h1", "h2", "k", "pos")
+    adjacentRunScan(survivors)
+  }
+
+  /** Hybrid plan end to end (same contract as removeRanges). */
+  def removeRangesHybrid(docs: DataFrame, cfg: Config): DataFrame = {
+    val cand = hybridCandidates(docs, cfg.minLen, None)
+    val removable =
+      if (cfg.verifyBytes) verifyCandidates(docs, cand, cfg.minLen)
+      else cand.select("k", "pos")
+    coalesceRanges(removable, cfg.minLen)
+  }
+
+  /** Dup-density-adaptive plan: one h1-count pass measures the EXACT
+    * duplicated-position fraction (cheap: the shuffle moves partially
+    * aggregated (h1, count) rows, half the width of the window frame and
+    * no sort), then picks the physical plan -- hybrid prefilter below
+    * `denseThreshold`, plain sort-scan above it (dense corpora gain
+    * nothing from a prefilter that passes everything). The candidate set
+    * is pinned eagerly so the persisted count table can be released
+    * immediately (the round-2 block-manager-leak lesson).
+    */
+  def removeRangesAdaptive(docs: DataFrame, cfg: Config,
+                           denseThreshold: Double = 0.5): DataFrame = {
+    val counts = windows(docs, cfg.minLen)
+      .groupBy("h1").agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val row = counts
+      .agg(coalesce(sum(col("c")), lit(0L)).as("t"),
+        coalesce(sum(when(col("c") > 1, col("c")).otherwise(0L)), lit(0L)).as("d"))
+      .collect()(0)
+    val total = row.getLong(0)
+    val dupFrac = if (total == 0) 0.0 else row.getLong(1).toDouble / total
+    if (dupFrac > denseThreshold) {
+      counts.unpersist(false)
+      removeRanges(docs, cfg)
+    } else {
+      val cand = hybridCandidates(docs, cfg.minLen,
+        Some(counts.where(col("c") > 1).select("h1")))
+      val pinned = cand.localCheckpoint(true)
+      counts.unpersist(false)
+      val removable =
+        if (cfg.verifyBytes) verifyCandidates(docs, pinned, cfg.minLen)
+        else pinned.select("k", "pos")
+      coalesceRanges(removable, cfg.minLen)
+    }
   }
 
   /** Sort-scan variant of the full pipeline (same contract as

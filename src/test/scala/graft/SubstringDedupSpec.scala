@@ -44,11 +44,22 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
         .as[(Long, Long, Long)].collect().toSet
       val gotSortScan = SubstringDedup.removeRangesSortScan(df, 6)
         .as[(Long, Long, Long)].collect().toSet
+      val gotHybrid = SubstringDedup.removeRangesHybrid(df, SubstringDedup.Config(6))
+        .as[(Long, Long, Long)].collect().toSet
+      // tiny-alphabet corpora are DENSE (adaptive takes the sort-scan
+      // arm); threshold 1.0 forces the hybrid arm so both are exercised
+      val gotAdaptive = SubstringDedup.removeRangesAdaptive(df, SubstringDedup.Config(6))
+        .as[(Long, Long, Long)].collect().toSet
+      val gotAdaptiveHybrid = SubstringDedup.removeRangesAdaptive(df, SubstringDedup.Config(6), 1.0)
+        .as[(Long, Long, Long)].collect().toSet
       assert(got == expected, s"default seed=$seed")
       assert(gotNoVerify == expected, s"no-verify seed=$seed")
       assert(gotHashAgg == expected, s"hash-agg seed=$seed")
       assert(gotHashAggNoVerify == expected, s"hash-agg-no-verify seed=$seed")
       assert(gotSortScan == expected, s"sort-scan seed=$seed")
+      assert(gotHybrid == expected, s"hybrid seed=$seed")
+      assert(gotAdaptive == expected, s"adaptive seed=$seed")
+      assert(gotAdaptiveHybrid == expected, s"adaptive-hybrid seed=$seed")
     }
   }
 
