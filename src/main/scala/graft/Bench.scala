@@ -127,7 +127,7 @@ object Bench {
     * bench always completes; min-of-N across interleaved rounds absorbs
     * whatever residual noise gets through. Returns the load at release.
     */
-  def awaitQuiet(threshold: Double = 8.0, maxWaitSec: Int = 45): Double = {
+  def awaitQuiet(threshold: Double = 8.0, maxWaitSec: Int = 120): Double = {
     val deadline = System.nanoTime() + maxWaitSec * 1000000000L
     var l = load1()
     while (l > threshold && System.nanoTime() < deadline) {
@@ -193,7 +193,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES", "150000").toInt
     val nScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING_IMAGES", "100000").toInt
-    val scalingRounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "3").toInt
+    val scalingRounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "4").toInt
     // Fixture lives on tmpfs: in local[N] mode one host's disk bandwidth is
     // shared by all N threads, whereas on a real cluster 4x the executors
     // bring 4x the aggregate disk bandwidth -- tmpfs-backed input is the
@@ -229,17 +229,23 @@ object Bench {
       }
     }
 
-    // headline passes: min-of-2, each gated on host quiet -- single
-    // timings on this shared host are noise (BASELINE.md methodology)
-    val pipe = (1 to 2).map { _ =>
-      awaitQuiet(); pipelinePass(spark, fixtureBase, nBase)
-    }.minBy(_.sec)
-    System.err.println(f"[bench] pipeline: ${pipe.nImages} images (${pipe.corpusBytes / 1e6}%.1f MB) in ${pipe.sec}%.2f s = ${pipe.imagesPerSec}%.0f images/s = ${pipe.mbPerSec}%.2f MB/s")
+    // headline passes: min-of-3, each gated on host quiet (bounded wait;
+    // single timings on this shared host are noise -- BASELINE.md
+    // methodology), with the load at each release recorded in the
+    // artifact so an outlier window is visible, not mysterious
+    val pipeRuns = (1 to 3).map { _ =>
+      val l = awaitQuiet(); (pipelinePass(spark, fixtureBase, nBase), l)
+    }
+    val pipe = pipeRuns.map(_._1).minBy(_.sec)
+    val pipeLoads = pipeRuns.map(_._2)
+    System.err.println(f"[bench] pipeline: ${pipe.nImages} images (${pipe.corpusBytes / 1e6}%.1f MB) in ${pipe.sec}%.2f s = ${pipe.imagesPerSec}%.0f images/s = ${pipe.mbPerSec}%.2f MB/s (runs: ${pipeRuns.map(r => f"${r._1.sec}%.1f").mkString(", ")}; loads: ${pipeLoads.map(l => f"$l%.1f").mkString(", ")})")
 
     val nJsonlDocs = sys.env.getOrElse("SPARK_GRAFT_JSONL_DOCS", "50000").toInt
-    val (jBytes, jSec, jFiles) = (1 to 2).map { _ =>
-      awaitQuiet(); jsonlPass(spark, "/dev/shm/graft-fixtures", nJsonlDocs)
-    }.minBy(_._2)
+    val jsonlRuns = (1 to 3).map { _ =>
+      val l = awaitQuiet(); (jsonlPass(spark, "/dev/shm/graft-fixtures", nJsonlDocs), l)
+    }
+    val (jBytes, jSec, jFiles) = jsonlRuns.map(_._1).minBy(_._2)
+    val jsonlLoads = jsonlRuns.map(_._2)
     val jMbs = jBytes / 1e6 / jSec
     System.err.println(f"[bench] jsonl workflow: ${jBytes / 1e6}%.1f MB text, $jFiles files, ${jSec}%.2f s = $jMbs%.2f MB/s (reference single-box: ~46 MB/s on 128 threads)")
     spark.stop()
@@ -255,7 +261,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = timed.map(_._2).sum + pipe.sec
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":${errors.size},"errors":$errJson,"images_per_sec":${pipe.imagesPerSec},"n_images":${pipe.nImages},"corpus_mb":${pipe.corpusBytes / 1e6},"mb_per_sec":${pipe.mbPerSec},"jsonl_workflow":{"text_mb":${jBytes / 1e6},"sec":$jSec,"mb_per_sec":$jMbs,"minlen":500,"mode":"annotate"},"scaling":$scalingJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":${errors.size},"errors":$errJson,"images_per_sec":${pipe.imagesPerSec},"n_images":${pipe.nImages},"corpus_mb":${pipe.corpusBytes / 1e6},"mb_per_sec":${pipe.mbPerSec},"pipeline_runs":${pipeRuns.map(_._1.sec).mkString("[", ",", "]")},"pipeline_load1":${pipeLoads.mkString("[", ",", "]")},"jsonl_workflow":{"text_mb":${jBytes / 1e6},"sec":$jSec,"mb_per_sec":$jMbs,"minlen":500,"mode":"annotate","runs":${jsonlRuns.map(_._1._2).mkString("[", ",", "]")},"load1":${jsonlLoads.mkString("[", ",", "]")}},"scaling":$scalingJson}"""
     println(json)
     val out = java.nio.file.Paths.get("/root/repo/target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
