@@ -37,6 +37,10 @@ object Debug {
       keyed.select(col("k"), col("caption").as("text")), cfg.minhash, cfg.jaccThreshold).count())
     time("phash")(Hamming.pairs(
       keyed.select(col("k").as("id"), col("phash").as("bits")), cfg.hammingRadius).count())
+    time("phash_flat")(Hamming.pairsFlat(
+      keyed.select(col("k").as("id"), col("phash").as("bits")), cfg.hammingRadius).count())
+    time("phash_2lvl")(Hamming.pairsTwoLevel(
+      keyed.select(col("k").as("id"), col("phash").as("bits")), cfg.hammingRadius).count())
     time("full")(DedupPipeline.run(spark, images, cfg).clusters.count())
     spark.stop()
   }

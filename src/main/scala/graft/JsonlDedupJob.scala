@@ -342,32 +342,76 @@ object JsonlDedupJob {
     * (crash recovery, or writing a second output mode/codec from the same
     * dedup) reads the snapshot instead of re-running the dedup. Only the
     * ~12-byte/range table is ever materialized, never the corpus.
+    *
+    * `unit`: "bytes" (the reference default -- minLen in bytes, ranges
+    * UTF-8-clipped byte offsets in `sa_remove_ranges`) or "tokens"
+    * (reference C2 -- minLen in whitespace tokens, ranges as token
+    * offsets in `sa_remove_ranges_tokens`; remove mode drops the
+    * duplicated token spans and re-joins survivors with single spaces).
+    * `reversed` (token unit only): dedup over the mirrored token stream
+    * (the reference's --reversed suffix-duplication scan); reported
+    * ranges are mapped back to ORIGINAL-orientation offsets.
     */
   def run(spark: SparkSession, inDir: String, outDir: String,
           minLen: Int, mode: String = "annotate",
           compression: String = "gzip",
-          stageDir: Option[String] = None): Result = {
+          stageDir: Option[String] = None,
+          unit: String = "bytes", reversed: Boolean = false): Result = {
     require(mode == "annotate" || mode == "remove", s"unknown mode $mode")
+    require(unit == "bytes" || unit == "tokens", s"unknown unit $unit")
+    require(!(reversed && unit == "bytes"), "--reversed applies to unit=tokens")
     // strip the input's compression extension: the sink appends the one
     // matching the CHOSEN output compression, so the tree mirrors exactly
     // when in/out codecs agree and stays honest when they differ
     val keyed = readTree(spark, inDir)
       .withColumn("path", regexp_replace(col("path"), "\\.(gz|zst)$", ""))
 
-    val ranges = stageDir match {
-      case Some(d) => new graft.plans.Stage(spark, d)
-        .run("remove_ranges")(SubstringDedup.removeRanges(keyed, SubstringDedup.Config(minLen)))
-      case None => SubstringDedup.removeRanges(keyed, SubstringDedup.Config(minLen))
+    def staged(df: => org.apache.spark.sql.DataFrame) = stageDir match {
+      case Some(d) => new graft.plans.Stage(spark, d).run("remove_ranges")(df)
+      case None => df
     }
-    val annotated = SubstringDedup.annotateWith(keyed, ranges)
-    val out = mode match {
-      case "annotate" => annotated
-      case "remove" =>
-        annotated
-          .withColumn("text",
-            graft.functions.Utf8.removeMode(
-              encode(col("text"), "UTF-8"), col("sa_remove_ranges")))
-          .drop("sa_remove_ranges")
+
+    val out = unit match {
+      case "bytes" =>
+        val ranges = staged(SubstringDedup.removeRanges(keyed, SubstringDedup.Config(minLen)))
+        val annotated = SubstringDedup.annotateWith(keyed, ranges)
+        mode match {
+          case "annotate" => annotated
+          case "remove" =>
+            annotated
+              .withColumn("text",
+                graft.functions.Utf8.removeMode(
+                  encode(col("text"), "UTF-8"), col("sa_remove_ranges")))
+              .drop("sa_remove_ranges")
+        }
+      case "tokens" =>
+        val ranges0 = staged(SubstringDedup.removeRangesTokens(keyed, minLen, reversed = reversed))
+        // reversed-stream offsets -> original orientation: [s,e) over the
+        // mirrored stream covers original tokens [n-e, n-s)
+        val ranges = if (!reversed) ranges0 else {
+          val nTok = keyed.select(col("k"),
+            size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("_n"))
+          ranges0.join(nTok, "k")
+            .select(col("k"), (col("_n") - col("e")).as("_s2"), (col("_n") - col("s")).as("_e2"))
+            .select(col("k"), col("_s2").as("s"), col("_e2").as("e"))
+        }
+        val agg = ranges.groupBy("k")
+          .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("raw"))
+        val annotated = keyed
+          .join(agg, Seq("k"), "left")
+          .withColumn("sa_remove_ranges_tokens",
+            coalesce(col("raw"), array().cast("array<struct<s:bigint,e:bigint>>")))
+          .drop("raw")
+        mode match {
+          case "annotate" => annotated
+          case "remove" =>
+            val toks = filter(split(col("text"), " "), x => x =!= "")
+            annotated
+              .withColumn("text", concat_ws(" ",
+                filter(toks, (_, i) => !exists(col("sa_remove_ranges_tokens"),
+                  r => i >= r("s") && i < r("e")))))
+              .drop("sa_remove_ranges_tokens")
+        }
     }
     val written = Writeback.jsonlTree(out.drop("k"), outDir, compression = compression)
     Result(out, written)

@@ -218,6 +218,46 @@ class JsonlDedupJobSpec extends AnyFunSuite with SparkTestBase {
       ("a.jsonl", 1L, "last line no newline")))
   }
 
+  test("token-unit workflow: annotate carries token ranges, remove cuts the span; reversed maps back") {
+    val run10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val root = Files.createTempDirectory("graft_tok_in")
+    writePlain(root.resolve("a/part0.jsonl"), Seq(
+      s"""{"text": "$run10 unique alpha beta", "meta": "m0"}"""))
+    writePlain(root.resolve("b/part1.jsonl"), Seq(
+      s"""{"text": "prefix words here $run10 tail words", "meta": "m1"}"""))
+
+    val ann = JsonlDedupJob.run(spark, root.toString,
+      Files.createTempDirectory("graft_tok_ann").toString,
+      minLen = 8, mode = "annotate", unit = "tokens")
+    ann.written.count()
+    val ranges = ann.docs.where(col("meta") === "m1")
+      .select(explode(col("sa_remove_ranges_tokens")))
+      .select("col.s", "col.e").as[(Long, Long)].collect().toSeq
+    // doc2 tokens: 3 prefix + 10 copied + 2 tail; the copied run spans
+    // token offsets [3, 13)
+    assert(ranges == Seq((3L, 13L)))
+    assert(ann.docs.where(col("meta") === "m0")
+      .select(size(col("sa_remove_ranges_tokens"))).as[Int].collect().head == 0)
+
+    val rem = JsonlDedupJob.run(spark, root.toString,
+      Files.createTempDirectory("graft_tok_rem").toString,
+      minLen = 8, mode = "remove", unit = "tokens")
+    rem.written.count()
+    val cut = rem.docs.where(col("meta") === "m1").select("text").as[String].collect().head
+    assert(cut == "prefix words here tail words")
+
+    // reversed scan: same keep/remove decision here, ranges mapped back
+    // to original orientation
+    val rev = JsonlDedupJob.run(spark, root.toString,
+      Files.createTempDirectory("graft_tok_rev").toString,
+      minLen = 8, mode = "annotate", unit = "tokens", reversed = true)
+    rev.written.count()
+    val revRanges = rev.docs.where(col("meta") === "m1")
+      .select(explode(col("sa_remove_ranges_tokens")))
+      .select("col.s", "col.e").as[(Long, Long)].collect().toSeq
+    assert(revRanges == Seq((3L, 13L)))
+  }
+
   test("splittable plain ingest: tiny splitBytes == unsplit read, exact linenums, >1 task") {
     val root = Files.createTempDirectory("graft_split_in")
     val r = new scala.util.Random(13)
