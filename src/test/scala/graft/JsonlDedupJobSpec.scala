@@ -288,6 +288,23 @@ class JsonlDedupJobSpec extends AnyFunSuite with SparkTestBase {
     assert(split.rdd.getNumPartitions > 2)
   }
 
+  test("splittable ingest: chunk boundaries landing exactly on newlines stay exact") {
+    // every line is exactly 31 bytes + '\n' = 32; splitBytes=64 puts every
+    // chunk boundary precisely on a line start -- the off-by-one-iest case
+    val root = Files.createTempDirectory("graft_split_edge")
+    val lines = (0 until 64).map(i => f"""{"text": "doc$i%04d pad 1234567"}""")
+    lines.foreach(l => assert(l.getBytes(StandardCharsets.UTF_8).length == 31, l.length))
+    val p = root.resolve("f.jsonl")
+    Files.writeString(p, lines.map(_ + "\n").mkString)
+    val whole = JsonlDedupJob.readTree(spark, root.toString, splitBytes = 0)
+      .select("linenum", "text").as[(Long, String)].collect().toSet
+    val split = JsonlDedupJob.readTree(spark, root.toString, splitBytes = 64)
+      .select("linenum", "text").as[(Long, String)].collect().toSet
+    assert(split == whole)
+    assert(split.size == 64)
+    assert(split.map(_._1) == (0L until 64L).toSet)
+  }
+
   test("listTree orders by the reference key (crawl= stripped)") {
     val root = Files.createTempDirectory("graft_jsonl_order")
     for (p <- Seq("crawl=b/x.jsonl", "a0/y.jsonl", "crawl=a1/z.jsonl", "b1/w.jsonl"))
