@@ -329,9 +329,15 @@ object SparkEntry {
     "simhash_values" -> ((s, dir) =>
       SimHash.simhashes(asciiGuard(baseDocs(s, dir)).where(length(col("text")) >= 5), 5)),
 
-    // D8: Hamming-radius pairs via pigeonhole banding.
+    // D8: Hamming-radius pairs via pigeonhole banding (pairs() dispatches
+    // by measured size/skew; at fixture size that is the flat plan).
     "d8_hamming_pairs" -> ((s, dir) =>
       Hamming.pairs(phashDocs(s, dir), 4)),
+
+    // D8 differential: the 1e9-scale two-level plan pinned explicitly,
+    // against the same brute-force oracle.
+    "d8_hamming_pairs_2lvl" -> ((s, dir) =>
+      Hamming.pairsTwoLevel(phashDocs(s, dir), 4)),
 
     // D9: connected components (large-star/small-star).
     "d9_connected_components" -> ((s, dir) =>
@@ -690,6 +696,13 @@ object SparkEntry {
       "SELECT CAST(doc_id AS BIGINT) AS k, text FROM documents WHERE length(text) >= 5", 5),
 
     "d8_hamming_pairs" ->
+      s"""WITH ph AS ($phashDocsSql)
+         |SELECT x.id AS a, y.id AS b,
+         |       CAST(bit_count(xor(x.bits, y.bits)) AS INT) AS dist
+         |FROM ph x JOIN ph y ON x.id < y.id
+         |WHERE bit_count(xor(x.bits, y.bits)) <= 4""".stripMargin,
+
+    "d8_hamming_pairs_2lvl" ->
       s"""WITH ph AS ($phashDocsSql)
          |SELECT x.id AS a, y.id AS b,
          |       CAST(bit_count(xor(x.bits, y.bits)) AS INT) AS dist

@@ -11,6 +11,7 @@ object Shingles {
     * downstream folds). Empty when the doc is shorter than n.
     */
   def distinctHashes(bytes: Array[Byte], n: Int): Array[Long] = {
+    if (bytes == null) return Array.emptyLongArray // null text = no shingles
     val hs = PolyHash.windowHashes(bytes, n, PolyHash.B1)
     if (hs.isEmpty) return hs
     java.util.Arrays.sort(hs)
@@ -25,7 +26,8 @@ object Shingles {
 
   /** All (non-distinct) shingle hashes in document order. */
   def allHashes(bytes: Array[Byte], n: Int): Array[Long] =
-    PolyHash.windowHashes(bytes, n, PolyHash.B1)
+    if (bytes == null) Array.emptyLongArray
+    else PolyHash.windowHashes(bytes, n, PolyHash.B1)
 
   /** Distinct word n-gram shingle hashes: whitespace tokens (empties
     * dropped), shingle = n consecutive words joined by a single space,
@@ -35,6 +37,7 @@ object Shingles {
     * prefix filtering and inverted indexes need to stay linear.
     */
   def wordNgramHashes(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray // null text = no shingles
     val words = text.split(" ").filter(_.nonEmpty)
     if (words.length < n) return Array.emptyLongArray
     val hs = new Array[Long](words.length - n + 1)

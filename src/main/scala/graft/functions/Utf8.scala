@@ -68,9 +68,12 @@ object Utf8 {
     }
   }
 
-  /** remove_mode(textBytes, clippedRanges) -> deduped text. */
+  /** remove_mode(textBytes, clippedRanges) -> deduped text (null in ->
+    * null out, matching SQL null propagation).
+    */
   val removeModeUdf = udf { (bytes: Array[Byte], ranges: Seq[org.apache.spark.sql.Row]) =>
-    removeRanges(bytes, ranges.map(r => (r.getLong(0), r.getLong(1))))
+    if (bytes == null) null
+    else removeRanges(bytes, ranges.map(r => (r.getLong(0), r.getLong(1))))
   }
 
   /** kept-in-the-middle lengths (write_back_to_jsonl_sharded.py:91-92):

@@ -56,7 +56,8 @@ object MinHashLSH {
       .select(col("k").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
-        it.map { case (k, t) =>
+        it.map { case (k, t0) =>
+          val t = if (t0 == null) "" else t0 // null text = empty shingle set
           val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           (k, Shingles.minhashSignature(shingler(t, b), seeds))
         }
@@ -77,7 +78,8 @@ object MinHashLSH {
       .select(col("k").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
-        it.flatMap { case (k, t) =>
+        it.flatMap { case (k, t0) =>
+          val t = if (t0 == null) "" else t0 // null text = empty shingle set
           val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val sig = Shingles.minhashSignature(shingler(t, b), seeds)
           Iterator.range(0, bands).map { bi =>
@@ -120,7 +122,8 @@ object MinHashLSH {
     val shingler = shinglesOf(cfg)
     docs.select(col("k").cast("long"), col("text"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (k, t) =>
+      .mapPartitions(_.map { case (k, t0) =>
+        val t = if (t0 == null) "" else t0 // null text = empty shingle set
         val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         (k, shingler(t, b))
       })

@@ -116,8 +116,14 @@ object NgramJaccard {
       .join(sets.select(col("k").as("a"), col("sset").as("sa")), "a")
       .join(sets.select(col("k").as("b"), col("sset").as("sb")), "b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jacc", col("inter").cast("double") /
-        (size(col("sa")) + size(col("sb")) - col("inter")))
+      // two EMPTY shingle sets (e.g. null/short captions) have an
+      // undefined Jaccard: union size 0 -> NULL (drops at the threshold
+      // filter), not a divide-by-zero. A when() guard, not a row filter:
+      // Catalyst may reorder a filter past the projection, but when()
+      // evaluates its branch conditionally by contract.
+      .withColumn("union_sz", size(col("sa")) + size(col("sb")) - col("inter"))
+      .withColumn("jacc", when(col("union_sz") > 0,
+        col("inter").cast("double") / col("union_sz")))
       .where(col("jacc") >= threshold)
       .select(col("a"), col("b"), round(col("jacc"), 6).as("jacc"))
 }

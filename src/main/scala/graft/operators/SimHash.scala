@@ -20,8 +20,10 @@ object SimHash {
     docs
       .select(col("k").cast("long"), encode(col("text"), "UTF-8").as("b"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (k, b) =>
-        (k, Shingles.simhash64(Shingles.allHashes(b, n)))
+      .mapPartitions(_.flatMap { case (k, b) =>
+        // null text: no fingerprint (emitting a shared constant would
+        // cluster every caption-less doc at Hamming distance 0)
+        if (b == null) None else Some((k, Shingles.simhash64(Shingles.allHashes(b, n))))
       })
       .toDF("k", "simhash")
   }

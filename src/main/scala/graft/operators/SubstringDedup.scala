@@ -63,8 +63,13 @@ object SubstringDedup {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (k, bytes) =>
-          val (h1, h2) = PolyHash.windowHashes2(bytes, minLen)
-          Iterator.range(0, h1.length).map(i => (h1(i), h2(i), k, i.toLong))
+          // null text (e.g. an image row with no caption) = no windows,
+          // same as a doc shorter than minLen
+          if (bytes == null) Iterator.empty
+          else {
+            val (h1, h2) = PolyHash.windowHashes2(bytes, minLen)
+            Iterator.range(0, h1.length).map(i => (h1(i), h2(i), k, i.toLong))
+          }
         }
       }
       .toDF("h1", "h2", "k", "pos")
@@ -384,10 +389,13 @@ object SubstringDedup {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (k, bytes) =>
-          val (h1, h2) = PolyHash.windowHashes2(bytes, minLen)
-          Iterator.range(0, h1.length).map { i =>
-            (h1(i), h2(i), k, i.toLong,
-              java.util.Arrays.copyOfRange(bytes, i, i + minLen))
+          if (bytes == null) Iterator.empty
+          else {
+            val (h1, h2) = PolyHash.windowHashes2(bytes, minLen)
+            Iterator.range(0, h1.length).map { i =>
+              (h1(i), h2(i), k, i.toLong,
+                java.util.Arrays.copyOfRange(bytes, i, i + minLen))
+            }
           }
         }
       }
@@ -460,6 +468,8 @@ object SubstringDedup {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (k, text) =>
+          if (text == null) Iterator.empty
+          else {
           val ws = tokensOf(text)
           val digits = new Array[Long](ws.length)
           var i = 0
@@ -471,6 +481,7 @@ object SubstringDedup {
           }
           val (h1, h2) = PolyHash.windowHashesLongs2(digits, minLenTok)
           Iterator.range(0, h1.length).map(i => (h1(i), h2(i), k, i.toLong))
+          }
         }
       }
       .toDF("h1", "h2", "k", "pos")

@@ -121,7 +121,8 @@ object TextStats {
     docs.select(col("k").cast("long"), encode(col(textCol), "UTF-8").as("b"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (k, b) =>
-        val h = PolyHash.windowHashes(b, n, PolyHash.B1)
+        val h = if (b == null) Array.emptyLongArray
+          else PolyHash.windowHashes(b, n, PolyHash.B1)
         val m = h.length
         val out = scala.collection.mutable.LongMap.empty[Unit]
         if (m > 0) {

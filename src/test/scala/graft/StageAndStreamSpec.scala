@@ -63,8 +63,9 @@ class StageAndStreamSpec extends AnyFunSuite with SparkTestBase {
 
     // batch reference: the pipeline's exact-dedup stage on the same table
     val batchKept = graft.operators.ExactDedup.flag(
-        images.selectExpr("xxhash64(image_id) as k", // unique per row
-          "concat(sha2(bytes, 256), caption) as content"), "content")
+        images.select(expr("xxhash64(image_id)").as("k"), // unique per row
+          concat(sha2($"bytes", 256),
+            DedupPipeline.nullSafeCaption($"caption")).as("content")), "content")
       .where(!$"is_dup")
     // some payloads really are duplicated, so the stream dropped rows...
     assert(images.count() > streamed.length)
@@ -76,6 +77,41 @@ class StageAndStreamSpec extends AnyFunSuite with SparkTestBase {
       .withColumn("digest", graft.streaming.IngestDedup.contentDigest)
       .select($"digest").distinct().as[String].collect()
     assert(streamed.toSet == batchDigests.toSet)
+  }
+
+  test("null captions: distinct images are NOT collapsed by the content digest") {
+    // regression: a NULL caption nulled the whole concat, and groupBy /
+    // dropDuplicates treat NULLs as equal -- every distinct null-caption
+    // image collapsed into one arbitrarily-kept row
+    val dir = Files.createTempDirectory("graft_nullcap").toString + "/images"
+    val rows = Seq(
+      ("i0", Array[Byte](1, 2, 3), 1, 1, "png", null.asInstanceOf[String], 10L),
+      ("i1", Array[Byte](4, 5, 6), 1, 1, "png", null.asInstanceOf[String], 11L),
+      ("i2", Array[Byte](1, 2, 3), 1, 1, "png", null.asInstanceOf[String], 10L), // true dup of i0
+      ("i3", Array[Byte](1, 2, 3), 1, 1, "png", "cap", 10L)) // same bytes, real caption
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    rows.write.mode("overwrite").parquet(dir)
+
+    val q = graft.streaming.IngestDedup.streamingDedup(spark, dir)
+      .writeStream.format("memory").queryName("nullcap")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.table("nullcap").select($"image_id").as[String].collect().toSet
+    // i0/i1 distinct bytes -> both admitted; i2 duplicates i0; i3's real
+    // caption distinguishes it from the null-caption i0
+    assert(admitted.intersect(Set("i0", "i2")).size == 1)
+    assert(admitted.contains("i1") && admitted.contains("i3"))
+    assert(admitted.size == 3)
+
+    // the FULL batch pipeline survives null captions end to end: exactly
+    // one exact dup edge (i2 -> i0), every image clustered, null-caption
+    // docs get empty annotate ranges (no windows, not an NPE)
+    val res = DedupPipeline.run(spark, spark.read.parquet(dir), DedupPipeline.Config())
+    assert(res.exactEdges.count() == 1)
+    assert(res.clusters.count() == 4)
+    assert(res.annotated.where($"caption".isNull)
+      .select(size($"sa_remove_ranges")).as[Int].collect().forall(_ == 0))
   }
 
   test("streaming window counts equal batch on the same events") {
