@@ -41,6 +41,10 @@ object Debug {
       keyed.select(col("k").as("id"), col("phash").as("bits")), cfg.hammingRadius).count())
     time("phash_2lvl")(Hamming.pairsTwoLevel(
       keyed.select(col("k").as("id"), col("phash").as("bits")), cfg.hammingRadius).count())
+    // winnow O(len) check: the deque form must be ~w-independent
+    for (w <- Seq(4, 64))
+      time(s"winnow_w$w")(TextStats.winnowFingerprints(
+        keyed.select(col("k"), col("caption").as("text")), 8, w).count())
     time("full")(DedupPipeline.run(spark, images, cfg).clusters.count())
     spark.stop()
   }

@@ -223,6 +223,11 @@ object SparkEntry {
     "a1_remove_ranges_tokens" -> ((s, dir) =>
       SubstringDedup.removeRangesTokens(docsWithDups(s, dir), MinLenTok)),
 
+    // C2 --reversed: the mirrored-stream scan (suffix duplication);
+    // positions are reversed-stream token offsets.
+    "a1_remove_ranges_tokens_rev" -> ((s, dir) =>
+      SubstringDedup.removeRangesTokens(docsWithDups(s, dir), MinLenTok, reversed = true)),
+
     // A6: dup-ptr enumeration with dropped flags.
     "a6_dup_ptrs" -> ((s, dir) =>
       SubstringDedup.dupPtrs(docsWithDups(s, dir), SubstringDedup.Config(MinLen))),
@@ -490,6 +495,38 @@ object SparkEntry {
        |wins AS (SELECT k, CAST(min(h) OVER (PARTITION BY k ORDER BY i ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS BIGINT) AS fp FROM wh),
        |fps AS (SELECT DISTINCT k, fp FROM wins)""".stripMargin
 
+  /** Token-unit remove-ranges oracle over any token-stream expression
+    * (`wsExpr` yields the DuckDB list the Spark side tokenizes to --
+    * forward or list_reverse'd).
+    */
+  private def tokenRangesOracle(wsExpr: String): String =
+    s"""WITH docs AS ($docsWithDupsSql),
+       |tok AS (SELECT k, $wsExpr AS ws FROM docs),
+       |pos AS (
+       |  SELECT k, ws, unnest(generate_series(0, len(ws) - $MinLenTok)) AS pos
+       |  FROM tok WHERE len(ws) >= $MinLenTok
+       |),
+       |keyed AS (
+       |  SELECT k, pos, array_to_string(list_slice(ws, pos + 1, pos + $MinLenTok), ' ') AS w
+       |  FROM pos
+       |),
+       |ranked AS (
+       |  SELECT k, pos, row_number() OVER (PARTITION BY w ORDER BY k, pos) AS rn FROM keyed
+       |),
+       |removable AS (SELECT k, pos FROM ranked WHERE rn > 1),
+       |flagged AS (
+       |  SELECT k, pos,
+       |         CASE WHEN lag(pos) OVER (PARTITION BY k ORDER BY pos) IS NULL
+       |                OR pos > lag(pos) OVER (PARTITION BY k ORDER BY pos) + $MinLenTok
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM removable
+       |),
+       |isl AS (
+       |  SELECT k, pos, sum(brk) OVER (PARTITION BY k ORDER BY pos) AS island FROM flagged
+       |)
+       |SELECT k, CAST(min(pos) AS BIGINT) AS s, CAST(max(pos) + $MinLenTok AS BIGINT) AS e
+       |FROM isl GROUP BY k, island""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "a1_remove_ranges" -> removeRangesOracle(docsWithDupsSql),
@@ -498,32 +535,10 @@ object SparkEntry {
     // token-window equality expressed as equality of the space-joined
     // token slice (tokens are split on ' ', so the join is unambiguous)
     "a1_remove_ranges_tokens" ->
-      s"""WITH docs AS ($docsWithDupsSql),
-         |tok AS (SELECT k, list_filter(string_split(text, ' '), t -> t <> '') AS ws FROM docs),
-         |pos AS (
-         |  SELECT k, ws, unnest(generate_series(0, len(ws) - $MinLenTok)) AS pos
-         |  FROM tok WHERE len(ws) >= $MinLenTok
-         |),
-         |keyed AS (
-         |  SELECT k, pos, array_to_string(list_slice(ws, pos + 1, pos + $MinLenTok), ' ') AS w
-         |  FROM pos
-         |),
-         |ranked AS (
-         |  SELECT k, pos, row_number() OVER (PARTITION BY w ORDER BY k, pos) AS rn FROM keyed
-         |),
-         |removable AS (SELECT k, pos FROM ranked WHERE rn > 1),
-         |flagged AS (
-         |  SELECT k, pos,
-         |         CASE WHEN lag(pos) OVER (PARTITION BY k ORDER BY pos) IS NULL
-         |                OR pos > lag(pos) OVER (PARTITION BY k ORDER BY pos) + $MinLenTok
-         |              THEN 1 ELSE 0 END AS brk
-         |  FROM removable
-         |),
-         |isl AS (
-         |  SELECT k, pos, sum(brk) OVER (PARTITION BY k ORDER BY pos) AS island FROM flagged
-         |)
-         |SELECT k, CAST(min(pos) AS BIGINT) AS s, CAST(max(pos) + $MinLenTok AS BIGINT) AS e
-         |FROM isl GROUP BY k, island""".stripMargin,
+      tokenRangesOracle("list_filter(string_split(text, ' '), t -> t <> '')"),
+
+    "a1_remove_ranges_tokens_rev" ->
+      tokenRangesOracle("list_reverse(list_filter(string_split(text, ' '), t -> t <> ''))"),
 
     "a6_dup_ptrs" ->
       s"""WITH docs AS ($docsWithDupsSql),
