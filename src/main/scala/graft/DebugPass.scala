@@ -13,12 +13,15 @@ object DebugPass {
     val inDir = s"/dev/shm/graft-fixtures/jsonl-in-$nDocs"
     val bytes = graft.sources.JsonlGen.writeTree(spark, inDir, nDocs)
     System.err.println(f"[v] corpus ${bytes / 1e6}%.1f MB")
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[v] $name%-22s $sec%7.2f s  rows=$n  (${bytes / 1e6 / sec}%.1f MB/s)")
-    }
+    // SPARK_GRAFT_DEBUG_ONLY=substr1,substr2 runs only matching stages
+    val only = sys.env.get("SPARK_GRAFT_DEBUG_ONLY").map(_.split(",").toSeq)
+    def time(name: String)(f: => Long): Unit =
+      if (only.forall(_.exists(name.contains))) {
+        val t0 = System.nanoTime()
+        val n = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[v] $name%-22s $sec%7.2f s  rows=$n  (${bytes / 1e6 / sec}%.1f MB/s)")
+      }
     time("read_only")(JsonlDedupJob.readTree(spark, inDir).count())
     time("workflow_full") {
       JsonlDedupJob.run(spark, inDir, s"/dev/shm/graft-fixtures/jsonl-dbg-out-$nDocs",

@@ -305,6 +305,20 @@ class JsonlDedupJobSpec extends AnyFunSuite with SparkTestBase {
     assert(split.map(_._1) == (0L until 64L).toSet)
   }
 
+  test("splittable ingest: CRLF line endings agree with the whole-file reader") {
+    val root = Files.createTempDirectory("graft_split_crlf")
+    val lines = (0 until 120).map(i => s"""{"text": "crlf doc $i with some padding text"}""")
+    Files.write(root.resolve("f.jsonl"),
+      lines.map(_ + "\r\n").mkString.getBytes(StandardCharsets.UTF_8))
+    val whole = JsonlDedupJob.readTree(spark, root.toString, splitBytes = 0)
+      .select("linenum", "text").as[(Long, String)].collect().toSet
+    val split = JsonlDedupJob.readTree(spark, root.toString, splitBytes = 256)
+      .select("linenum", "text").as[(Long, String)].collect().toSet
+    assert(split == whole)
+    assert(split.size == 120)
+    assert(split.forall(!_._2.contains("\r")))
+  }
+
   test("listTree orders by the reference key (crawl= stripped)") {
     val root = Files.createTempDirectory("graft_jsonl_order")
     for (p <- Seq("crawl=b/x.jsonl", "a0/y.jsonl", "crawl=a1/z.jsonl", "b1/w.jsonl"))
