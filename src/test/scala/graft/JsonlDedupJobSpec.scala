@@ -305,6 +305,19 @@ class JsonlDedupJobSpec extends AnyFunSuite with SparkTestBase {
     assert(split.map(_._1) == (0L until 64L).toSet)
   }
 
+  test("splittable ingest: a single line spanning many chunks is read once, by its owner") {
+    val root = Files.createTempDirectory("graft_split_giant")
+    val giant = s"""{"text": "giant ${"g" * 5000} end"}"""
+    val lines = Seq("""{"text": "small before"}""", giant, """{"text": "small after"}""")
+    Files.writeString(root.resolve("f.jsonl"), lines.map(_ + "\n").mkString)
+    val got = JsonlDedupJob.readTree(spark, root.toString, splitBytes = 512)
+      .select("linenum", "text").as[(Long, String)].collect().toSet
+    assert(got.map(_._1) == Set(0L, 1L, 2L))
+    assert(got.count(_._2.startsWith("giant")) == 1)
+    assert(got == JsonlDedupJob.readTree(spark, root.toString, splitBytes = 0)
+      .select("linenum", "text").as[(Long, String)].collect().toSet)
+  }
+
   test("splittable ingest: CRLF line endings agree with the whole-file reader") {
     val root = Files.createTempDirectory("graft_split_crlf")
     val lines = (0 until 120).map(i => s"""{"text": "crlf doc $i with some padding text"}""")
