@@ -10,10 +10,13 @@ import graft.functions.PolyHash
   * columns with typed metadata, processed batch-wise in mapPartitions.
   *
   * Image decode is REAL (javax.imageio ships with the JDK: png + jpeg).
-  * Audio/video feature extraction is a deterministic STUB (this container
-  * has no codec libraries): the Spark-side plumbing -- schema, typed
-  * Dataset batching, partition shape -- is real and tested; swap
-  * `fakeAudioFeatures`/`fakeFrameSample` for a codec call in production.
+  * Audio is REAL for RIFF/PCM16 WAV (in-repo chunk parser, no codec
+  * libraries needed) with a deterministic hash fallback (ok=false) for
+  * formats this container cannot decode. Video frame sampling remains a
+  * deterministic STUB (no container/codec parsing in the JDK): the
+  * Spark-side plumbing -- schema, typed Dataset batching, partition
+  * shape -- is real and tested; swap the digest for a decoder call in
+  * production.
   */
 object Multimodal {
 
@@ -57,21 +60,76 @@ object Multimodal {
       .toDF()
   }
 
-  /** STUB: deterministic fake audio features (n mel-ish bands) derived
-    * from the payload hash -- replace with a codec in production. The
-    * schema and batch shape are the real contract.
+  /** Minimal RIFF/PCM16 WAV parser (JDK-only, no codec libraries):
+    * walks the word-aligned chunk list, accepts audioFormat=1 / 16-bit,
+    * averages channels to mono in [-1, 1]. Returns (sampleRate, samples)
+    * or None for anything that is not plain PCM16 WAV.
+    */
+  private[operators] def parseWavPcm16(bytes: Array[Byte]): Option[(Int, Array[Double])] = {
+    def le32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmtOk = false; var channels = 0; var rate = 0
+    var samples: Array[Double] = null
+    while (off + 8 <= bytes.length) {
+      val id = tag(off); val sz = le32(off + 4)
+      if (id == "fmt " && off + 24 <= bytes.length) {
+        channels = le16(off + 10); rate = le32(off + 12)
+        fmtOk = le16(off + 8) == 1 && le16(off + 22) == 16 && channels >= 1
+      } else if (id == "data" && fmtOk) {
+        val n = (math.min(sz.toLong, (bytes.length - off - 8).toLong) / 2 / channels).toInt
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var acc = 0.0; var c = 0
+          while (c < channels) {
+            val o = off + 8 + 2 * (i * channels + c)
+            acc += (((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort) / 32768.0
+            c += 1
+          }
+          out(i) = acc / channels
+          i += 1
+        }
+        samples = out
+      }
+      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    if (fmtOk && samples != null) Some((rate, samples)) else None
+  }
+
+  /** Audio features: REAL for RIFF/PCM16 WAV payloads (decoded with the
+    * in-repo parser above -- per-band RMS energy over `bands` equal time
+    * segments, ok=true); payloads in codec formats this container cannot
+    * decode (mp3/flac/...) fall back to deterministic hash-derived
+    * pseudo-features with ok=false, so the pipeline shape stays total and
+    * the caller can filter on `ok`.
     */
   def audioFeatures(audio: DataFrame, bands: Int = 16): DataFrame = {
     val spark = audio.sparkSession
     import spark.implicits._
     audio.select(col("clip_id").cast("string"), col("bytes")).as[(String, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val h0 = PolyHash.hash(bytes, 0, math.min(bytes.length, 4096), PolyHash.B1)
-        val feats = Array.tabulate(bands)(i =>
-          (PolyHash.mix64(h0 ^ i.toLong) >>> 11).toDouble / (1L << 53).toDouble)
-        (id, feats)
+        parseWavPcm16(bytes) match {
+          case Some((_, s)) if s.nonEmpty =>
+            val feats = Array.tabulate(bands) { b =>
+              val lo = (b.toLong * s.length / bands).toInt
+              val hi = math.max(lo + 1, ((b + 1).toLong * s.length / bands).toInt)
+              var e = 0.0; var i = lo
+              while (i < hi) { e += s(i) * s(i); i += 1 }
+              math.sqrt(e / (hi - lo))
+            }
+            (id, feats, true)
+          case _ =>
+            val h0 = PolyHash.hash(bytes, 0, math.min(bytes.length, 4096), PolyHash.B1)
+            val feats = Array.tabulate(bands)(i =>
+              (PolyHash.mix64(h0 ^ i.toLong) >>> 11).toDouble / (1L << 53).toDouble)
+            (id, feats, false)
+        }
       })
-      .toDF("clip_id", "features")
+      .toDF("clip_id", "features", "ok")
   }
 
   /** STUB: deterministic fake frame sampling -- emits `n` pseudo-frame

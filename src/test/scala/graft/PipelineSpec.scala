@@ -73,12 +73,41 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(resized.length == 4 && resized.forall(_.getAs[Int]("w") == 16))
   }
 
-  test("multimodal stubs: audio features + frame sampling shapes") {
+  test("multimodal: audio features + frame sampling shapes; non-WAV takes the fallback") {
     val audio = images.limit(3).select($"image_id".as("clip_id"), $"bytes")
     val feats = Multimodal.audioFeatures(audio, bands = 8).collect()
     assert(feats.length == 3 && feats.forall(_.getSeq[Double](1).length == 8))
+    assert(feats.forall(!_.getBoolean(2))) // png payloads are not WAV -> ok=false
     val vids = images.limit(2).select($"image_id".as("video_id"), $"bytes")
     assert(Multimodal.frameSample(vids, 5).count() == 10)
+  }
+
+  test("multimodal: real PCM16 WAV decode -- band RMS tracks the signal envelope") {
+    // synthesize a mono PCM16 WAV: silent first half, loud square second half
+    def wav(n: Int, rate: Int): Array[Byte] = {
+      val data = new Array[Byte](n * 2)
+      var i = n / 2
+      while (i < n) {
+        val v: Short = if (i % 2 == 0) 20000 else -20000
+        data(2 * i) = (v & 0xff).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(x: Int) = (0 until 4).foreach(j => bos.write((x >> (8 * j)) & 0xff))
+      def le16(x: Int) = (0 until 2).foreach(j => bos.write((x >> (8 * j)) & 0xff))
+      bos.write("RIFF".getBytes); le32(36 + data.length); bos.write("WAVE".getBytes)
+      bos.write("fmt ".getBytes); le32(16); le16(1); le16(1) // PCM, mono
+      le32(rate); le32(rate * 2); le16(2); le16(16)
+      bos.write("data".getBytes); le32(data.length); bos.write(data, 0, data.length)
+      bos.toByteArray
+    }
+    val clips = Seq(("c0", wav(8000, 8000))).toDF("clip_id", "bytes")
+    val row = Multimodal.audioFeatures(clips, bands = 4).collect().head
+    val f = row.getSeq[Double](1)
+    assert(row.getBoolean(2)) // decoded, not the fallback
+    assert(f(0) < 0.01 && f(1) < 0.01, s"silent half: $f") // silence
+    assert(f(2) > 0.5 && f(3) > 0.5, s"loud half: $f") // square wave RMS ~0.61
   }
 
   test("ann: brute top-k exact, lsh top-k recall") {
