@@ -11,12 +11,11 @@ import graft.functions.PolyHash
   *
   * Image decode is REAL (javax.imageio ships with the JDK: png + jpeg).
   * Audio is REAL for RIFF/PCM16 WAV (in-repo chunk parser, no codec
-  * libraries needed) with a deterministic hash fallback (ok=false) for
-  * formats this container cannot decode. Video frame sampling remains a
-  * deterministic STUB (no container/codec parsing in the JDK): the
-  * Spark-side plumbing -- schema, typed Dataset batching, partition
-  * shape -- is real and tested; swap the digest for a decoder call in
-  * production.
+  * libraries needed). Video frame sampling is REAL for MJPEG streams
+  * (JPEG boundary scan + per-frame decode + perceptual aHash). Payloads
+  * in codec formats this container cannot decode (mp3/mp4/webm/...)
+  * take deterministic hash-derived fallbacks flagged ok=false, so every
+  * pipeline stays total and callers filter on `ok`.
   */
 object Multimodal {
 
@@ -65,7 +64,7 @@ object Multimodal {
     * averages channels to mono in [-1, 1]. Returns (sampleRate, samples)
     * or None for anything that is not plain PCM16 WAV.
     */
-  private[operators] def parseWavPcm16(bytes: Array[Byte]): Option[(Int, Array[Double])] = {
+  private[graft] def parseWavPcm16(bytes: Array[Byte]): Option[(Int, Array[Double])] = {
     def le32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
       ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
     def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
@@ -132,18 +131,70 @@ object Multimodal {
       .toDF("clip_id", "features", "ok")
   }
 
-  /** STUB: deterministic fake frame sampling -- emits `n` pseudo-frame
-    * digests per video; replace the digest with a real frame decode.
+  /** MJPEG frame boundaries: a Motion-JPEG stream is concatenated JPEG
+    * images; frames run from an SOI marker (FF D8 FF) to the next EOI
+    * (FF D9). Entropy-coded data byte-stuffs FF as FF 00 and restart
+    * markers are FF D0-D7, so scanning for EOI is the standard MJPEG
+    * splitter. Returns [start, end) offsets per frame.
+    */
+  private[graft] def mjpegFrameOffsets(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    // an MJPEG stream STARTS with SOI; without this gate, arbitrary
+    // binary (png, mp4) can contain FF D8 FF / FF D9 byte runs by chance
+    // and would be misdetected as a 1-frame "video"
+    if (bytes.length < 4 || bytes(0) != 0xff.toByte ||
+        bytes(1) != 0xd8.toByte || bytes(2) != 0xff.toByte) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    var start = -1
+    while (i + 1 < bytes.length) {
+      if (start < 0 && i + 2 < bytes.length && bytes(i) == 0xff.toByte &&
+          bytes(i + 1) == 0xd8.toByte && bytes(i + 2) == 0xff.toByte) {
+        start = i; i += 2
+      } else if (start >= 0 && bytes(i) == 0xff.toByte && bytes(i + 1) == 0xd9.toByte) {
+        out += ((start, i + 2)); start = -1; i += 2
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Frame sampling: REAL for MJPEG payloads -- up to `n` evenly spaced
+    * frames are split at JPEG boundaries, decoded (javax.imageio), and
+    * digested with the same perceptual aHash the image path uses
+    * (ok=true) -- so sampled frames feed directly into the pHash Hamming
+    * near-dup join. Containers this JDK cannot parse (mp4/webm/mkv) fall
+    * back to deterministic pseudo-digests with ok=false.
     */
   def frameSample(videos: DataFrame, n: Int = 4): DataFrame = {
     val spark = videos.sparkSession
     import spark.implicits._
     videos.select(col("video_id").cast("string"), col("bytes")).as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        val h0 = PolyHash.hash(bytes, 0, math.min(bytes.length, 4096), PolyHash.B2)
-        Iterator.range(0, n).map(i => (id, i, PolyHash.mix64(h0 + i)))
+        val frames = mjpegFrameOffsets(bytes)
+        if (frames.nonEmpty) {
+          val m = math.min(n, frames.size)
+          val picks =
+            if (m == 1) Seq(0)
+            else (0 until m).map(j => j * (frames.size - 1) / (m - 1)).distinct
+          picks.zipWithIndex.map { case (fi, ix) =>
+            val (s, e) = frames(fi)
+            val digest =
+              try {
+                val img = ImageIO.read(new ByteArrayInputStream(
+                  java.util.Arrays.copyOfRange(bytes, s, e)))
+                val w = img.getWidth; val h = img.getHeight
+                graft.sources.ImagesGen.aHash(
+                  img.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xffffff), w, h)
+              } catch {
+                case _: Exception => PolyHash.mix64(PolyHash.hash(bytes, s, e - s, PolyHash.B2))
+              }
+            (id, ix, digest, true)
+          }
+        } else {
+          val h0 = PolyHash.hash(bytes, 0, math.min(bytes.length, 4096), PolyHash.B2)
+          Iterator.range(0, n).map(i => (id, i, PolyHash.mix64(h0 + i), false)).toSeq
+        }
       })
-      .toDF("video_id", "frame_ix", "frame_digest")
+      .toDF("video_id", "frame_ix", "frame_digest", "ok")
   }
 
   /** PSNR between two decodable images (fidelity gate: >= 40 dB for lossy

@@ -78,8 +78,39 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val feats = Multimodal.audioFeatures(audio, bands = 8).collect()
     assert(feats.length == 3 && feats.forall(_.getSeq[Double](1).length == 8))
     assert(feats.forall(!_.getBoolean(2))) // png payloads are not WAV -> ok=false
-    val vids = images.limit(2).select($"image_id".as("video_id"), $"bytes")
-    assert(Multimodal.frameSample(vids, 5).count() == 10)
+    // png payloads are not MJPEG -> fallback pseudo-digests (a JPEG
+    // payload IS a valid 1-frame MJPEG, so jpg rows are excluded here)
+    val vids = images.where($"fmt" === "png").limit(2)
+      .select($"image_id".as("video_id"), $"bytes")
+    val fs = Multimodal.frameSample(vids, 5).collect()
+    assert(fs.length == 10 && fs.forall(!_.getBoolean(3)))
+  }
+
+  test("multimodal: real MJPEG frame sampling -- boundaries found, frames decoded and aHashed") {
+    // patterned frames (solid colors all aHash to 0 -- the hash is
+    // mean-relative): vertical vs horizontal split have distinct hashes
+    def jpegFrame(vertical: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(y => (0 until 16).foreach { x =>
+        val bright = if (vertical) x >= 8 else y >= 8
+        img.setRGB(x, y, if (bright) 0xffffff else 0x000000)
+      })
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // a 3-frame MJPEG stream: vertical, horizontal, vertical
+    val mjpeg = jpegFrame(true) ++ jpegFrame(false) ++ jpegFrame(true)
+    assert(Multimodal.mjpegFrameOffsets(mjpeg).size == 3)
+    val vids = Seq(("v0", mjpeg)).toDF("video_id", "bytes")
+    val got = Multimodal.frameSample(vids, 2).collect() // evenly spaced: first + last
+    assert(got.length == 2 && got.forall(_.getBoolean(3)))
+    // first and last frames are the same dark image -> equal perceptual digests
+    assert(got(0).getLong(2) == got(1).getLong(2))
+    val all3 = Multimodal.frameSample(vids, 5).collect() // capped at frame count
+    assert(all3.length == 3)
+    assert(all3.map(_.getLong(2)).distinct.length == 2) // dark, light, dark
   }
 
   test("multimodal: real PCM16 WAV decode -- band RMS tracks the signal envelope") {
