@@ -131,6 +131,18 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(html.contains("&lt;two&gt;")) // escaping
   }
 
+  test("B10 render: multi-byte text slices at clipped boundaries without mojibake") {
+    val dup = "日本語のテキストですね全部で" // 14 chars x 3 bytes = 42 bytes
+    val docs = Seq((1L, s"first $dup copy"), (2L, s"zwei $dup copy two")).toDF("k", "text")
+    val ann = SubstringDedup.annotate(docs, SubstringDedup.Config(12))
+    val ansi = Render.annotated(ann)
+    // rendered segments re-decode cleanly: no replacement characters
+    assert(!ansi.contains("�"))
+    assert(ansi.contains("[31m")) // something was painted red
+    val html = Render.annotated(ann, html = true)
+    assert(!html.contains("�") && html.contains("""<span class="dropped">"""))
+  }
+
   test("A9 index-order verification: sorted window frame has no violations") {
     for (seed <- Seq(1, 4)) {
       val docs = spark_(randomDocs(seed, 40, "ab")) // dense duplicate runs
