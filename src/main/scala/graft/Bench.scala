@@ -153,19 +153,25 @@ object Bench {
     * sandbox's contention; 8 -> 32 is measured and reported alongside.
     */
   def scalingPass(fixtureBase: String, nBase: Int, rounds: Int,
-                  levels: Seq[String]): (Double, String) = {
+                  levels: Seq[String]): (Double, String, String) = {
     val times = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     val loads = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     var n = 0L
-    for (r <- 1 to rounds; cpus <- levels) {
+    def oneRound(r: String, cpus: String): Unit = {
       val spark = freshSession(cpus)
       try {
         // untimed small pass: pays the fresh session's JIT/codegen/broadcast
         // warmup (~8-10 s, identical plans) outside the measured window
         pipelinePass(spark, fixtureBase, 12000)
         // gate the measured window on host quiet (bounded wait): a run
-        // started into a neighbor's load spike never beats the min anyway
-        val l = awaitQuiet()
+        // started into a neighbor's load spike never beats the min anyway.
+        // Stricter than the headline gate (6.0 vs 8.0, longer wait): the
+        // min-of-N estimator only needs ONE clean window per level, and a
+        // window released at load ~8 under-provisions the wider levels
+        // (local[8]/local[32] share the busy socket), which is exactly the
+        // r1-r4 failure mode where driver-run efficiency landed 0.77-0.78
+        // while quiet-window runs measured 0.82-0.88.
+        val l = awaitQuiet(threshold = 6.0, maxWaitSec = 180)
         val st = pipelinePass(spark, fixtureBase, nBase)
         n = st.nImages
         times(cpus) = st.sec :: times(cpus)
@@ -173,6 +179,14 @@ object Bench {
         System.err.println(f"[bench] scaling round $r local[$cpus]: ${st.nImages} images in ${st.sec}%.2f s = ${st.imagesPerSec}%.0f images/s (load1 at start: $l%.1f)")
       } finally spark.stop()
     }
+    for (r <- 1 to rounds; cpus <- levels) oneRound(r.toString, cpus)
+    // Targeted retries: a level whose every planned window released hot
+    // (gate expired at load > threshold) gets up to 2 bonus rounds -- one
+    // quiet window fixes the min, and retrying only the starved level is
+    // far cheaper than adding whole interleaved rounds.
+    for (cpus <- levels; extra <- 1 to 2
+         if loads(cpus).nonEmpty && loads(cpus).min > 6.5)
+      oneRound(s"retry$extra", cpus)
     val best = levels.map(c => (c, times(c).min))
     def eff(lo: (String, Double), hi: (String, Double)): Double =
       (lo._2 / hi._2) / (hi._1.toDouble / lo._1.toDouble)
@@ -184,7 +198,10 @@ object Bench {
     val lvls = best.map { case (c, t) =>
       s"""{"cpus":$c,"sec":$t,"images_per_sec":${n / t},"all_runs":${times(c).reverse.mkString("[", ",", "]")},"load1_at_start":${loads(c).reverse.mkString("[", ",", "]")}}"""
     }.mkString("[", ",", "]")
+    val compactPairs = pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     (headline,
+      compactPairs,
       s"""{"efficiency":$headline,"headline_pair":"${pairs.head._1}","pair_efficiencies":$pairsJson,"n_images":$n,"levels":$lvls}""")
   }
 
@@ -193,7 +210,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES", "150000").toInt
     val nScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING_IMAGES", "100000").toInt
-    val scalingRounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "4").toInt
+    val scalingRounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "5").toInt
     // Fixture lives on tmpfs: in local[N] mode one host's disk bandwidth is
     // shared by all N threads, whereas on a real cluster 4x the executors
     // bring 4x the aggregate disk bandwidth -- tmpfs-backed input is the
@@ -250,7 +267,8 @@ object Bench {
     System.err.println(f"[bench] jsonl workflow: ${jBytes / 1e6}%.1f MB text, $jFiles files, ${jSec}%.2f s = $jMbs%.2f MB/s (reference single-box: ~46 MB/s on 128 threads)")
     spark.stop()
 
-    val (_, scalingJson) = scalingPass(fixtureBase, nScaling, scalingRounds, Seq("2", "8", "32"))
+    val (scalingEff, compactPairs, scalingJson) =
+      scalingPass(fixtureBase, nScaling, scalingRounds, Seq("2", "8", "32"))
 
     val timed = results.collect { case (k, Some(v)) => (k, v) }
     val qs = (timed :+ ("images_pipeline" -> pipe.sec))
@@ -262,10 +280,18 @@ object Bench {
     val total = timed.map(_._2).sum + pipe.sec
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":${errors.size},"errors":$errJson,"images_per_sec":${pipe.imagesPerSec},"n_images":${pipe.nImages},"corpus_mb":${pipe.corpusBytes / 1e6},"mb_per_sec":${pipe.mbPerSec},"pipeline_runs":${pipeRuns.map(_._1.sec).mkString("[", ",", "]")},"pipeline_load1":${pipeLoads.mkString("[", ",", "]")},"jsonl_workflow":{"text_mb":${jBytes / 1e6},"sec":$jSec,"mb_per_sec":$jMbs,"minlen":500,"mode":"annotate","runs":${jsonlRuns.map(_._1._2).mkString("[", ",", "]")},"load1":${jsonlLoads.mkString("[", ",", "]")}},"scaling":$scalingJson}"""
-    println(json)
     val out = java.nio.file.Paths.get("/root/repo/target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, json + "\n")
+    // Full per-query detail (~4 KB) goes to the FILE and stderr only: the
+    // driver captures a bounded tail of stdout, and a 4 KB final line
+    // overflows it (BENCH_r01-r04 all arrived truncated mid-object). The
+    // final stdout line is a COMPACT (<1 KB) headline summary that the
+    // tail capture always holds whole.
+    System.err.println(json)
+    val compact =
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","sf":"$sfDir","n_queries":${timed.size},"n_failed":${errors.size},"images_per_sec":${f"${pipe.imagesPerSec}%.0f"},"pipeline_sec":${f"${pipe.sec}%.2f"},"pipeline_mb_per_sec":${f"${pipe.mbPerSec}%.2f"},"jsonl_mb_per_sec":${f"$jMbs%.2f"},"scaling_efficiency":${f"$scalingEff%.3f"},"scaling_pairs":$compactPairs,"detail":"target/bench.json"}"""
+    println(compact)
     if (errors.nonEmpty) sys.exit(1)
   }
 }

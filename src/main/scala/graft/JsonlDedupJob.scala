@@ -366,8 +366,13 @@ object JsonlDedupJob {
     val keyed = readTree(spark, inDir)
       .withColumn("path", regexp_replace(col("path"), "\\.(gz|zst)$", ""))
 
+    // stage name carries the unit/orientation: the (k,s,e) schema is
+    // identical across bytes/tokens/reversed runs, so a resume pointed at
+    // a stageDir written with a different --unit/--reversed would
+    // otherwise silently reuse the WRONG snapshot
+    val stageName = s"remove_ranges_$unit${if (reversed) "_rev" else ""}"
     def staged(df: => org.apache.spark.sql.DataFrame) = stageDir match {
-      case Some(d) => new graft.plans.Stage(spark, d).run("remove_ranges")(df)
+      case Some(d) => new graft.plans.Stage(spark, d).run(stageName)(df)
       case None => df
     }
 

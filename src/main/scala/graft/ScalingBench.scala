@@ -19,7 +19,7 @@ object ScalingBench {
       try Bench.pipelinePass(s, fixtureBase, nBase) finally s.stop()
     }
 
-    val (efficiency, json) = Bench.scalingPass(fixtureBase, nBase, rounds, levels)
+    val (efficiency, _, json) = Bench.scalingPass(fixtureBase, nBase, rounds, levels)
     println(s"""{"metric":"scaling_efficiency","value":$efficiency,"unit":"ratio","detail":$json}""")
   }
 }

@@ -221,16 +221,22 @@ object AnnCosine {
       while (j < v.length && j < ct.length) { val t = v(j) - ct(j); d += t * t; j += 1 }
       d
     }
-    def assign(cents: Array[Array[Double]]): DataFrame =
+    // centroids ride a BROADCAST variable, not the task closure: at the
+    // production design point nCells ~ sqrt(N) ~ 3e4 cells x dim doubles
+    // is tens of MB, serialized once per executor instead of per task
+    def assign(cents: Array[Array[Double]]): DataFrame = {
+      val bc = spark.sparkContext.broadcast(cents)
       c.map { case (id, v) =>
+        val cs = bc.value
         var best = 0; var bd = Double.MaxValue; var ci = 0
-        while (ci < cents.length) {
-          val d = l2sq(v, cents(ci))
+        while (ci < cs.length) {
+          val d = l2sq(v, cs(ci))
           if (d < bd) { bd = d; best = ci } // strict <: ties keep lowest cell
           ci += 1
         }
         (id, best)
       }.toDF("id", "cell")
+    }
 
     var cents = cent0
     for (_ <- 0 until rounds) {
@@ -248,10 +254,11 @@ object AnnCosine {
     val cells = assign(cents)
     val qs = queries.select(col("qid").cast("long"), col("vec").cast("array<double>"))
       .as[(Long, Array[Double])]
-    val centsFinal = cents
+    val bcFinal = spark.sparkContext.broadcast(cents)
     val probes = qs.flatMap { case (qid, v) =>
-      centsFinal.indices
-        .map(ci => (l2sq(v, centsFinal(ci)), ci))
+      val cs = bcFinal.value
+      cs.indices
+        .map(ci => (l2sq(v, cs(ci)), ci))
         .sorted.take(nProbe) // (distance, cell) ascending: ties -> low cell
         .map { case (_, ci) => (qid, ci) }
     }.toDF("qid", "cell")

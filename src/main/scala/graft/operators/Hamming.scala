@@ -123,17 +123,24 @@ object Hamming {
     * at small n. The two probe jobs are narrow-column scans, trivial
     * next to the join they steer.
     */
-  def pairs(df: DataFrame, r: Int): DataFrame = {
+  def pairs(df: DataFrame, r: Int, nHint: Long = -1L): DataFrame = {
     if (r <= 2) return pairsFlat(df, r)
     val minW = 64 / (r + 1)
     val cutoff = 512L * (1L << minW) / (r + 1)
-    val n = df.count()
-    if (n > cutoff) pairsTwoLevel(df, r)
+    // caller-supplied row count skips both probe jobs (and the pin below)
+    if (nHint > cutoff) return pairsTwoLevel(df, r)
+    // pin the narrow (id, bits) projection ONCE: without it the count,
+    // the worst-bucket probe and the steered join each re-evaluate the
+    // upstream plan -- up to 3x for an expensive input (e.g. freshly
+    // decoded phashes)
+    val base = df.select(col("id"), col("bits")).localCheckpoint(true)
+    val n = if (nHint >= 0L) nHint else base.count()
+    if (n > cutoff) pairsTwoLevel(base, r)
     else {
-      val maxBucket = blockTable(df, r + 1)
+      val maxBucket = blockTable(base, r + 1)
         .groupBy("block", "block_bits").agg(count(lit(1)).as("c"))
         .agg(coalesce(max(col("c")), lit(0L))).collect()(0).getLong(0)
-      if (maxBucket <= 4096) pairsFlat(df, r) else pairsTwoLevel(df, r)
+      if (maxBucket <= 4096) pairsFlat(base, r) else pairsTwoLevel(base, r)
     }
   }
 

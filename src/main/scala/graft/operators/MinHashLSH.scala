@@ -46,7 +46,11 @@ object MinHashLSH {
     else
       (_, bytes) => Shingles.distinctHashes(bytes, cfg.shingleLen)
 
-  /** docs(k, text) -> (k, sig: array<long>) one row per doc, no shuffle. */
+  /** docs(k, text) -> (k, sig: array<long>) one row per doc, no shuffle.
+    * Empty-shingle docs keep their all-sentinel signature row here (the
+    * per-doc signature is total by contract); bandTable is where they are
+    * dropped, before any self-join can see them.
+    */
   def signatures(docs: DataFrame, cfg: Config): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -66,7 +70,13 @@ object MinHashLSH {
   }
 
   /** (k, band, band_hash): one row per doc per band; band_hash folds the
-    * band's signature rows with mix64 chaining.
+    * band's signature rows with mix64 chaining. Docs whose shingle set is
+    * EMPTY (null text, or text shorter than one shingle) emit NO band
+    * rows: their signatures are identical all-sentinel vectors, so one
+    * band bucket would collect every such doc and candidatePairs would
+    * go quadratic on junk rows -- the same hazard SimHash.simhashes
+    * avoids by dropping null rows. "No shingles" means "similar to
+    * nothing", not "similar to every other empty doc".
     */
   def bandTable(docs: DataFrame, cfg: Config): DataFrame = {
     val spark = docs.sparkSession
@@ -81,12 +91,16 @@ object MinHashLSH {
         it.flatMap { case (k, t0) =>
           val t = if (t0 == null) "" else t0 // null text = empty shingle set
           val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val sig = Shingles.minhashSignature(shingler(t, b), seeds)
-          Iterator.range(0, bands).map { bi =>
-            var h = 0x6a0917b1L + bi
-            var r = 0
-            while (r < rows) { h = PolyHash.mix64(h ^ sig(bi * rows + r)); r += 1 }
-            (k, bi, h)
+          val sh = shingler(t, b)
+          if (sh.isEmpty) Iterator.empty
+          else {
+            val sig = Shingles.minhashSignature(sh, seeds)
+            Iterator.range(0, bands).map { bi =>
+              var h = 0x6a0917b1L + bi
+              var r = 0
+              while (r < rows) { h = PolyHash.mix64(h ^ sig(bi * rows + r)); r += 1 }
+              (k, bi, h)
+            }
           }
         }
       }

@@ -62,31 +62,40 @@ object Multimodal {
   /** Minimal RIFF/PCM16 WAV parser (JDK-only, no codec libraries):
     * walks the word-aligned chunk list, accepts audioFormat=1 / 16-bit,
     * averages channels to mono in [-1, 1]. Returns (sampleRate, samples)
-    * or None for anything that is not plain PCM16 WAV.
+    * or None for anything that is not plain PCM16 WAV. Total on arbitrary
+    * bytes: chunk sizes that read as negative (le32 of 0xFFFFFFF8 = -8
+    * would stall the walk at a fixed offset) or that overflow the cursor
+    * bail to None, and the whole walk is wrapped so ANY malformed payload
+    * takes the documented ok=false fallback rather than killing the task.
     */
-  private[graft] def parseWavPcm16(bytes: Array[Byte]): Option[(Int, Array[Double])] = {
+  private[graft] def parseWavPcm16(bytes: Array[Byte]): Option[(Int, Array[Double])] =
+    try parseWavPcm16Unsafe(bytes) catch { case _: Exception => None }
+
+  private def parseWavPcm16Unsafe(bytes: Array[Byte]): Option[(Int, Array[Double])] = {
     def le32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
       ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
     def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
     if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12
+    var off = 12L // Long cursor: a hostile sz near Int.MaxValue must not wrap
     var fmtOk = false; var channels = 0; var rate = 0
     var samples: Array[Double] = null
     while (off + 8 <= bytes.length) {
-      val id = tag(off); val sz = le32(off + 4)
-      if (id == "fmt " && off + 24 <= bytes.length) {
-        channels = le16(off + 10); rate = le32(off + 12)
-        fmtOk = le16(off + 8) == 1 && le16(off + 22) == 16 && channels >= 1
+      val o = off.toInt
+      val id = tag(o); val sz = le32(o + 4)
+      if (sz < 0) return None // declared size >= 2 GiB: not a sane WAV chunk
+      if (id == "fmt " && o + 24 <= bytes.length) {
+        channels = le16(o + 10); rate = le32(o + 12)
+        fmtOk = le16(o + 8) == 1 && le16(o + 22) == 16 && channels >= 1
       } else if (id == "data" && fmtOk) {
-        val n = (math.min(sz.toLong, (bytes.length - off - 8).toLong) / 2 / channels).toInt
+        val n = (math.min(sz.toLong, (bytes.length - o - 8).toLong) / 2 / channels).toInt
         val out = new Array[Double](n)
         var i = 0
         while (i < n) {
           var acc = 0.0; var c = 0
           while (c < channels) {
-            val o = off + 8 + 2 * (i * channels + c)
-            acc += (((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort) / 32768.0
+            val so = o + 8 + 2 * (i * channels + c)
+            acc += (((bytes(so) & 0xff) | (bytes(so + 1) << 8)).toShort) / 32768.0
             c += 1
           }
           out(i) = acc / channels
@@ -94,7 +103,7 @@ object Multimodal {
         }
         samples = out
       }
-      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      off += 8L + sz + (sz & 1) // RIFF chunks are word-aligned; advances >= 8
     }
     if (fmtOk && samples != null) Some((rate, samples)) else None
   }
@@ -133,9 +142,15 @@ object Multimodal {
 
   /** MJPEG frame boundaries: a Motion-JPEG stream is concatenated JPEG
     * images; frames run from an SOI marker (FF D8 FF) to the next EOI
-    * (FF D9). Entropy-coded data byte-stuffs FF as FF 00 and restart
-    * markers are FF D0-D7, so scanning for EOI is the standard MJPEG
-    * splitter. Returns [start, end) offsets per frame.
+    * (FF D9). Frames are walked SEGMENT-AWARE: marker segments (APPn,
+    * COM, DQT, SOF, ...) carry a big-endian 2-byte length and are skipped
+    * whole -- an EXIF APP1 segment can legitimately contain a complete
+    * embedded thumbnail JPEG (its own SOI/EOI), which a raw FF D9 scan
+    * would mistake for the frame end. Entropy-coded data after SOS
+    * byte-stuffs FF as FF 00 and uses FF D0-D7 restarts, so inside it
+    * only a non-stuffing marker terminates the scan. A structurally
+    * malformed frame falls back to the naive EOI scan for that frame.
+    * Returns [start, end) offsets per frame.
     */
   private[graft] def mjpegFrameOffsets(bytes: Array[Byte]): Seq[(Int, Int)] = {
     // an MJPEG stream STARTS with SOI; without this gate, arbitrary
@@ -143,15 +158,47 @@ object Multimodal {
     // and would be misdetected as a 1-frame "video"
     if (bytes.length < 4 || bytes(0) != 0xff.toByte ||
         bytes(1) != 0xd8.toByte || bytes(2) != 0xff.toByte) return Nil
+    def u(o: Int): Int = bytes(o) & 0xff
+    // end offset (exclusive) of the JPEG starting at `start`, or -1 if the
+    // segment structure is malformed / truncated
+    def frameEnd(start: Int): Int = {
+      var i = start + 2
+      var inScan = false
+      while (i + 1 < bytes.length) {
+        if (!inScan) {
+          if (u(i) != 0xff) return -1
+          while (i + 1 < bytes.length && u(i + 1) == 0xff) i += 1 // fill bytes
+          if (i + 1 >= bytes.length) return -1
+          val m = u(i + 1)
+          if (m == 0xd9) return i + 2 // EOI
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // standalone
+          else if (i + 3 < bytes.length) {
+            val len = (u(i + 2) << 8) | u(i + 3)
+            if (len < 2) return -1
+            if (m == 0xda) inScan = true // SOS: entropy data follows header
+            i += 2 + len
+          } else return -1
+        } else if (u(i) == 0xff && u(i + 1) != 0x00 &&
+                   !(u(i + 1) >= 0xd0 && u(i + 1) <= 0xd7)) {
+          inScan = false // real marker ends the entropy-coded run
+        } else i += 1
+      }
+      -1
+    }
+    def naiveEnd(start: Int): Int = {
+      var i = start + 2
+      while (i + 1 < bytes.length &&
+             !(bytes(i) == 0xff.toByte && bytes(i + 1) == 0xd9.toByte)) i += 1
+      if (i + 1 < bytes.length) i + 2 else -1
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var i = 0
-    var start = -1
-    while (i + 1 < bytes.length) {
-      if (start < 0 && i + 2 < bytes.length && bytes(i) == 0xff.toByte &&
-          bytes(i + 1) == 0xd8.toByte && bytes(i + 2) == 0xff.toByte) {
-        start = i; i += 2
-      } else if (start >= 0 && bytes(i) == 0xff.toByte && bytes(i + 1) == 0xd9.toByte) {
-        out += ((start, i + 2)); start = -1; i += 2
+    while (i + 2 < bytes.length) {
+      if (bytes(i) == 0xff.toByte && bytes(i + 1) == 0xd8.toByte &&
+          bytes(i + 2) == 0xff.toByte) {
+        val e0 = frameEnd(i)
+        val e = if (e0 > 0) e0 else naiveEnd(i)
+        if (e > 0) { out += ((i, e)); i = e } else i = bytes.length
       } else i += 1
     }
     out.toSeq

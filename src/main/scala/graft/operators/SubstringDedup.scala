@@ -499,7 +499,7 @@ object SubstringDedup {
       col("k").cast("long").as("vk"),
       (if (reversed) reverse(toks0) else toks0).as("vt"))
     def digest(posCol: Column): Column =
-      sha2(encode(concat_ws(" ", slice(col("vt"), posCol + 1, lit(minLenTok))), "UTF-8"), 256)
+      sha2(encode(concat_ws("\u0000", slice(col("vt"), posCol + 1, lit(minLenTok))), "UTF-8"), 256)
     candidates
       .join(toksDf, col("k") === col("vk"))
       .withColumn("wd_self", digest(col("pos")))

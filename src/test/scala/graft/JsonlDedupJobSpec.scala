@@ -106,7 +106,9 @@ class JsonlDedupJobSpec extends AnyFunSuite with SparkTestBase {
       compression = "none", stageDir = Some(stage)).written.collect()
     assert(st.metrics.count() == m1, "ranges stage must resume, not recompute")
     // the snapshot is the narrow reference artifact (k, s, e)
-    val snap = spark.read.parquet(s"$stage/remove_ranges")
+    // stage name carries the unit (a bytes-run snapshot must never be
+    // resumed by a tokens/reversed run with the same (k,s,e) schema)
+    val snap = spark.read.parquet(s"$stage/remove_ranges_bytes")
     assert(snap.columns.toSet == Set("k", "s", "e") && snap.count() > 0)
     // and the resumed remove-mode output still cuts the duplicated run
     val back = spark.read.option("recursiveFileLookup", "true").json(out2)

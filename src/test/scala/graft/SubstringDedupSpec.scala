@@ -124,7 +124,7 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
 
     val ann = SubstringDedup.annotate(df, SubstringDedup.Config(10))
     val ansi = Render.annotated(ann)
-    assert(ansi.contains("[31m")) // a red (removed) span exists
+    assert(ansi.contains("\u001b[31m")) // a red (removed) span exists
     assert(ansi.contains(dup)) // the duplicated run is painted
     val html = Render.annotated(ann, html = true)
     assert(html.contains("""<span class="dropped">"""))
@@ -138,7 +138,7 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
     val ansi = Render.annotated(ann)
     // rendered segments re-decode cleanly: no replacement characters
     assert(!ansi.contains("�"))
-    assert(ansi.contains("[31m")) // something was painted red
+    assert(ansi.contains("\u001b[31m")) // something was painted red
     val html = Render.annotated(ann, html = true)
     assert(!html.contains("�") && html.contains("""<span class="dropped">"""))
   }
