@@ -9,13 +9,15 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.JsonlDedupCli <jar> \
   *     <inDir> <outDir> [--minlen 500] [--mode annotate|remove] \
   *     [--compression gzip|zstd|none] [--stage-dir <dir>] \
-  *     [--unit bytes|tokens] [--reversed]
+  *     [--unit bytes|tokens|ids] [--reversed]
   *
   * Master/executors come from spark-submit (the same binary runs at any
   * cluster size -- the N vs 4N scaling contract); --stage-dir enables the
   * remove_ranges snapshot + metrics, the workflow's crash-resume point;
-  * --unit tokens counts minlen in whitespace tokens (reference C2), with
-  * --reversed scanning the mirrored token stream.
+  * --unit tokens counts minlen in whitespace tokens (reference C2);
+  * --unit ids consumes pre-tokenized `tokens: array<int>` records (the
+  * reference's production shape); --reversed (tokens/ids) scans the
+  * mirrored stream.
   */
 object JsonlDedupCli {
 
@@ -38,7 +40,7 @@ object JsonlDedupCli {
     argv match {
       case in :: out :: rest => loop(Args(in, out), rest)
       case _ => throw new IllegalArgumentException(
-        "usage: <inDir> <outDir> [--minlen N] [--mode annotate|remove] [--compression gzip|zstd|none] [--stage-dir DIR] [--unit bytes|tokens] [--reversed]")
+        "usage: <inDir> <outDir> [--minlen N] [--mode annotate|remove] [--compression gzip|zstd|none] [--stage-dir DIR] [--unit bytes|tokens|ids] [--reversed]")
     }
   }
 

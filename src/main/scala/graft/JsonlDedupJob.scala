@@ -190,7 +190,8 @@ object JsonlDedupJob {
   def readTree(spark: SparkSession, inDir: String,
                schema: StructType = null, inferFiles: Int = 16,
                inferLinesPerFile: Int = 100,
-               splitBytes: Long = 256L << 20): DataFrame = {
+               splitBytes: Long = 256L << 20,
+               requiredField: String = "text"): DataFrame = {
     import spark.implicits._
     val relLen = listTreeWithLen(spark, inDir)
     val rel = relLen.map(_._1)
@@ -224,7 +225,8 @@ object JsonlDedupJob {
       require(lines.nonEmpty, s"no JSONL lines found in the $inDir schema sample")
       spark.read.json(spark.createDataset(lines)).schema
     }
-    require(sch.fieldNames.contains("text"), "JSONL docs must carry a `text` field")
+    require(sch.fieldNames.contains(requiredField),
+      s"JSONL docs must carry a `$requiredField` field")
 
     val hadoopProps = graft.sources.HadoopConfs.snapshot(spark)
     // chunk table: whole-file units (end = -1) for compressed or small
@@ -319,20 +321,22 @@ object JsonlDedupJob {
       }
       .toDF("fid", "path", "linenum", "line")
 
-    lines
+    val parsed = lines
       .select(
         col("path"), col("linenum"),
         (shiftleft(col("fid"), LinenumBits) + col("linenum")).as("k"),
         from_json(col("line"), sch).as("j"))
       .select(col("path"), col("linenum"), col("k"), col("j.*"))
-      // fail fast with the offending location instead of an opaque NPE
-      // deep inside window generation: a missing `text` field or a
-      // malformed line (from_json nulls it) is a data error, not a bug
-      .withColumn("text",
-        when(col("text").isNull,
-          raise_error(concat(lit("null or missing `text` at "),
-            col("path"), lit(":"), col("linenum"))).cast("string"))
-          .otherwise(col("text")))
+    // fail fast with the offending location instead of an opaque NPE
+    // deep inside window generation: a missing required field (`text`,
+    // or `tokens` for --unit ids) or a malformed line (from_json nulls
+    // it) is a data error, not a bug
+    parsed.withColumn(requiredField,
+      when(col(requiredField).isNull,
+        raise_error(concat(lit(s"null or missing `$requiredField` at "),
+          col("path"), lit(":"), col("linenum")))
+          .cast(parsed.schema(requiredField).dataType))
+        .otherwise(col(requiredField)))
   }
 
   /** Full workflow. `stageDir`: when set, the narrow (k, s, e) ranges
@@ -347,8 +351,12 @@ object JsonlDedupJob {
     * UTF-8-clipped byte offsets in `sa_remove_ranges`) or "tokens"
     * (reference C2 -- minLen in whitespace tokens, ranges as token
     * offsets in `sa_remove_ranges_tokens`; remove mode drops the
-    * duplicated token spans and re-joins survivors with single spaces).
-    * `reversed` (token unit only): dedup over the mirrored token stream
+    * duplicated token spans and re-joins survivors with single spaces),
+    * or "ids" (reference production shape -- records carry a
+    * pre-tokenized `tokens: array<int>` field, minLen counts ids, ranges
+    * are id offsets in `sa_remove_ranges_tokens`; remove mode drops the
+    * duplicated id spans from the array).
+    * `reversed` (token/ids units): dedup over the mirrored token stream
     * (the reference's --reversed suffix-duplication scan); reported
     * ranges are mapped back to ORIGINAL-orientation offsets.
     */
@@ -358,12 +366,14 @@ object JsonlDedupJob {
           stageDir: Option[String] = None,
           unit: String = "bytes", reversed: Boolean = false): Result = {
     require(mode == "annotate" || mode == "remove", s"unknown mode $mode")
-    require(unit == "bytes" || unit == "tokens", s"unknown unit $unit")
-    require(!(reversed && unit == "bytes"), "--reversed applies to unit=tokens")
+    require(unit == "bytes" || unit == "tokens" || unit == "ids",
+      s"unknown unit $unit")
+    require(!(reversed && unit == "bytes"), "--reversed applies to unit=tokens|ids")
     // strip the input's compression extension: the sink appends the one
     // matching the CHOSEN output compression, so the tree mirrors exactly
     // when in/out codecs agree and stays honest when they differ
-    val keyed = readTree(spark, inDir)
+    val keyed = readTree(spark, inDir,
+      requiredField = if (unit == "ids") "tokens" else "text")
       .withColumn("path", regexp_replace(col("path"), "\\.(gz|zst)$", ""))
 
     // stage name carries the unit/orientation: the (k,s,e) schema is
@@ -415,6 +425,33 @@ object JsonlDedupJob {
               .withColumn("text", concat_ws(" ",
                 filter(toks, (_, i) => !exists(col("sa_remove_ranges_tokens"),
                   r => i >= r("s") && i < r("e")))))
+              .drop("sa_remove_ranges_tokens")
+        }
+      case "ids" =>
+        // pre-tokenized corpora (the reference's production shape): the
+        // record carries `tokens: array<int>`; minLen counts ids, ranges
+        // are id offsets, remove mode drops the duplicated id spans
+        val ranges0 = staged(SubstringDedup.removeRangesIds(keyed, minLen, reversed = reversed))
+        val ranges = if (!reversed) ranges0 else {
+          val nTok = keyed.select(col("k"), size(col("tokens")).cast("long").as("_n"))
+          ranges0.join(nTok, "k")
+            .select(col("k"), (col("_n") - col("e")).as("_s2"), (col("_n") - col("s")).as("_e2"))
+            .select(col("k"), col("_s2").as("s"), col("_e2").as("e"))
+        }
+        val agg = ranges.groupBy("k")
+          .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("raw"))
+        val annotated = keyed
+          .join(agg, Seq("k"), "left")
+          .withColumn("sa_remove_ranges_tokens",
+            coalesce(col("raw"), array().cast("array<struct<s:bigint,e:bigint>>")))
+          .drop("raw")
+        mode match {
+          case "annotate" => annotated
+          case "remove" =>
+            annotated
+              .withColumn("tokens",
+                filter(col("tokens"), (_, i) => !exists(col("sa_remove_ranges_tokens"),
+                  r => i >= r("s") && i < r("e"))))
               .drop("sa_remove_ranges_tokens")
         }
     }

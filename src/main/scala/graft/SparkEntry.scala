@@ -40,6 +40,24 @@ object SparkEntry {
       |UNION ALL
       |SELECT CAST(doc_id + 1000000 AS BIGINT) AS k, text FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
+  /** docsWithDups mapped to a planted PRE-TOKENIZED id stream: each
+    * whitespace token becomes the deterministic id `length + 256*ascii`
+    * (computable identically in DuckDB over the ASCII fixture), so the
+    * ids-mode operator gets the reference-production input shape
+    * (k, tokens: array<bigint>) with duplicated runs intact.
+    */
+  private def docsWithIdTokens(spark: SparkSession, dir: String): DataFrame =
+    docsWithDups(spark, dir).select(col("k"),
+      expr("transform(filter(split(text, ' '), t -> t != '')," +
+        " t -> CAST(length(t) + 256 * ascii(t) AS BIGINT))").as("tokens"))
+
+  /** DuckDB mirror of the planted id stream; VARCHAR ids so the oracle's
+    * space-joined window key stays injective (int -> decimal string is).
+    */
+  private val idTokensSqlExpr =
+    "list_transform(list_filter(string_split(text, ' '), t -> t <> '')," +
+      " t -> CAST(length(t) + 256 * ascii(t) AS VARCHAR))"
+
   /** dups + near-dups: doc_id % 7 == 1 docs reappear with their own first
     * 20 chars appended (high-but-not-1.0 Jaccard).
     */
@@ -227,6 +245,16 @@ object SparkEntry {
     // positions are reversed-stream token offsets.
     "a1_remove_ranges_tokens_rev" -> ((s, dir) =>
       SubstringDedup.removeRangesTokens(docsWithDups(s, dir), MinLenTok, reversed = true)),
+
+    // C2 --unit ids: dedup over a PRE-TOKENIZED id stream (the
+    // reference's production mode: vocab applied upstream, engine sees
+    // u16/u32 ids). The fixture plants a deterministic id per token
+    // (length + 256*ascii(first char)) computable identically in DuckDB;
+    // duplicated text runs therefore carry duplicated id runs, and any
+    // extra collisions the lossy mapping introduces are seen IDENTICALLY
+    // by both engines -- ids mode dedups whatever ids it is handed.
+    "a1_remove_ranges_ids" -> ((s, dir) =>
+      SubstringDedup.removeRangesIds(docsWithIdTokens(s, dir), MinLenTok)),
 
     // A6: dup-ptr enumeration with dropped flags.
     "a6_dup_ptrs" -> ((s, dir) =>
@@ -539,6 +567,11 @@ object SparkEntry {
 
     "a1_remove_ranges_tokens_rev" ->
       tokenRangesOracle("list_reverse(list_filter(string_split(text, ' '), t -> t <> ''))"),
+
+    // ids mode: same window/coalesce chain over the planted id stream
+    // (ids as decimal strings -- equality of id windows is equality of
+    // their space-joined string forms)
+    "a1_remove_ranges_ids" -> tokenRangesOracle(idTokensSqlExpr),
 
     "a6_dup_ptrs" ->
       s"""WITH docs AS ($docsWithDupsSql),

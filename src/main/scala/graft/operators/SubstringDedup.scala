@@ -525,6 +525,77 @@ object SubstringDedup {
     coalesceRanges(removable, minLenTok)
   }
 
+  /** One row per in-doc TOKEN-ID window position over a PRE-TOKENIZED
+    * stream: docs(k, tokens: array<int|long>) -> (h1, h2, k, pos). This
+    * is the reference's actual production mode (indexing_v6_sharded.py:
+    * 205-218 tokenizes with gpt2/llama vocabularies up front and the
+    * engine consumes u16/u32 id streams, cpp_engine_dedup.h:70-77): the
+    * vocabulary lives with the CALLER -- the engine never sees token
+    * text, just rolls the same 61-bit window hash over the provided ids.
+    */
+  def idWindows(docs: DataFrame, minLenTok: Int, reversed: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("k").cast("long"), col("tokens").cast("array<long>"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (k, ids) =>
+          if (ids == null) Iterator.empty
+          else {
+            val digits =
+              if (!reversed) ids
+              else Array.tabulate(ids.length)(i => ids(ids.length - 1 - i))
+            val (h1, h2) = PolyHash.windowHashesLongs2(digits, minLenTok)
+            Iterator.range(0, h1.length).map(i => (h1(i), h2(i), k, i.toLong))
+          }
+        }
+      }
+      .toDF("h1", "h2", "k", "pos")
+  }
+
+  /** Id-level candidate verification: the minLenTok-id slice at each
+    * candidate and its keeper are compared by sha2 digest of the
+    * comma-joined decimal ids (',' never occurs inside a decimal int, so
+    * the join is injective) -- a 61-bit rolling-hash collision can never
+    * remove a window whose id sequence differs.
+    */
+  private def verifyIdCandidates(docs: DataFrame, candidates: DataFrame,
+                                 minLenTok: Int, reversed: Boolean): DataFrame = {
+    val ids0 = col("tokens").cast("array<long>")
+    val toksDf = docs.select(
+      col("k").cast("long").as("vk"),
+      (if (reversed) reverse(ids0) else ids0).as("vt"))
+    def digest(posCol: Column): Column =
+      sha2(encode(concat_ws(",",
+        transform(slice(col("vt"), posCol + 1, lit(minLenTok)), _.cast("string"))),
+        "UTF-8"), 256)
+    candidates
+      .join(toksDf, col("k") === col("vk"))
+      .withColumn("wd_self", digest(col("pos")))
+      .drop("vk", "vt")
+      .join(toksDf, col("keep_k") === col("vk"))
+      .withColumn("wd_keep", digest(col("keep_pos")))
+      .where(col("wd_self") === col("wd_keep"))
+      .select("k", "pos")
+  }
+
+  /** Pre-tokenized-id remove ranges: docs(k, tokens: array<int|long>) ->
+    * (k, s, e) in TOKEN offsets over the (optionally reversed) id stream
+    * -- C2's find_remove_ranges for already-tokenized corpora, the
+    * reference's production input shape. Same sort-scan spine and
+    * gaps-and-islands coalescing as the byte and whitespace-token paths;
+    * verification is id-exact by default.
+    */
+  def removeRangesIds(docs: DataFrame, minLenTok: Int,
+                      verify: Boolean = true, reversed: Boolean = false): DataFrame = {
+    val cand = runScan(idWindows(docs, minLenTok, reversed))
+    val removable =
+      if (verify) verifyIdCandidates(docs, cand, minLenTok, reversed)
+      else cand.select("k", "pos")
+    coalesceRanges(removable, minLenTok)
+  }
+
   /** Diagnostics (reference find_dup_ptrs, h:801-837): every member of a
     * duplicate group with dropped flag; the kept (first) one has
     * dropped=false.

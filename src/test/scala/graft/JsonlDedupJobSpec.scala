@@ -91,6 +91,43 @@ class JsonlDedupJobSpec extends AnyFunSuite with SparkTestBase {
     assert(back("m2").length < s"a later copy $run appears again".length)
   }
 
+  test("ids unit: pre-tokenized tree dedups id runs, remove mode drops the spans") {
+    // records carry `tokens: array<int>` (the reference's production
+    // shape: vocab applied upstream); no `text` field at all
+    val idRun = (0 until 8).map(i => 500 + i) // 8 ids >= minLen 6
+    def rec(meta: String, ids: Seq[Int]) =
+      s"""{"tokens": [${ids.mkString(", ")}], "meta": "$meta"}"""
+    val root = Files.createTempDirectory("graft_jsonl_ids_in")
+    writeGz(root.resolve("crawl=a/part0.jsonl.gz"), Seq(
+      rec("m0", idRun ++ Seq(1, 2)),
+      rec("m1", Seq(9, 10, 11, 12, 13, 14, 15, 16)))) // unique ids: untouched
+    writePlain(root.resolve("b/part1.jsonl"), Seq(
+      rec("m2", Seq(3, 4) ++ idRun),
+      rec("m3", Seq(5, 6)))) // shorter than minLen: untouched
+    val in = root.toString
+
+    val outA = Files.createTempDirectory("graft_jsonl_ids_ann").toString
+    JsonlDedupJob.run(spark, in, outA, minLen = 6, mode = "annotate",
+      compression = "none", unit = "ids").written.collect()
+    val ann = spark.read.option("recursiveFileLookup", "true").json(outA)
+    assert(ann.count() == 4)
+    val annotated = ann.where(size(col("sa_remove_ranges_tokens")) > 0)
+      .select("meta").as[String].collect().toSet
+    // crawl=a/part0 sorts first ("a/part0"): m0's copy is kept, m2's cut
+    assert(annotated == Set("m2"), s"got $annotated")
+
+    val outR = Files.createTempDirectory("graft_jsonl_ids_rm").toString
+    JsonlDedupJob.run(spark, in, outR, minLen = 6, mode = "remove",
+      compression = "none", unit = "ids").written.collect()
+    val back = spark.read.option("recursiveFileLookup", "true").json(outR)
+      .select("meta", "tokens").as[(String, Seq[Long])].collect().toMap
+    assert(back.size == 4)
+    assert(back("m0") == (idRun ++ Seq(1, 2)).map(_.toLong)) // kept copy intact
+    assert(back("m1") == (9L to 16L))
+    assert(back("m2") == Seq(3L, 4L)) // duplicated id span dropped
+    assert(back("m3") == Seq(5L, 6L))
+  }
+
   test("stage-dir: remove_ranges snapshot computed once, reused across output modes") {
     val in = mkTree()
     val stage = Files.createTempDirectory("graft_jsonl_stage").toString

@@ -106,6 +106,38 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ids-unit dedup (C2 production shape): matches token-unit under an injective vocab") {
+    // same corpus as the token test, pre-tokenized through an injective
+    // vocab (word -> index): the ids-mode result must equal the
+    // token-mode result position for position, forward and reversed
+    val words = "aa bb cc dd ee".split(" ")
+    val vocab = words.zipWithIndex.toMap
+    val r = new scala.util.Random(5)
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (0 until r.nextInt(30)).map(_ => words(r.nextInt(words.length))).mkString(" "))
+    }
+    val textDf = spark_(docs)
+    val idsDf = docs.map { case (k, t) =>
+      (k, t.split(' ').filter(_.nonEmpty).map(w => vocab(w).toLong))
+    }.toDF("k", "tokens")
+    for (rev <- Seq(false, true); verify <- Seq(true, false)) {
+      val viaTokens = SubstringDedup.removeRangesTokens(textDf, 4, verify = verify, reversed = rev)
+        .as[(Long, Long, Long)].collect().toSet
+      val viaIds = SubstringDedup.removeRangesIds(idsDf, 4, verify = verify, reversed = rev)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(viaIds == viaTokens, s"reversed=$rev verify=$verify")
+    }
+    // ids ARE the content: two docs with different provenance but equal
+    // id runs dedup against each other (second occurrence removed)
+    val run = Array.tabulate(6)(i => (100 + i).toLong)
+    val planted = Seq(
+      (1L, run ++ Array(7L, 8L)),
+      (2L, Array(9L) ++ run)).toDF("k", "tokens")
+    val got = SubstringDedup.removeRangesIds(planted, 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((2L, 1L, 7L)))
+  }
+
   test("A7 slices + B10 render: dropped spans carry the actual window text and paint red") {
     val dup = "0123456789abcdefghij" // 20 bytes, minLen 10
     val docs = Seq((1L, s"$dup and a tail unique to doc one"),
