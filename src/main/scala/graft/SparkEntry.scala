@@ -235,6 +235,16 @@ object SparkEntry {
     "a2_remove_ranges_sortscan" -> ((s, dir) =>
       SubstringDedup.removeRangesSortScan(docsWithDups(s, dir), MinLen)),
 
+    // A8 full-fidelity sibling: remove-ranges answered from the ONE-TIME
+    // prefix-doubling suffix index (build once, query any minLen <=
+    // maxDepth -- the reference's index-reuse semantics, README.md:44-48);
+    // same oracle as a1/a2.
+    "sa_index_remove_ranges" -> ((s, dir) => {
+      val idx = SuffixIndex.build(docsWithDups(s, dir),
+        SuffixIndex.Config(maxDepth = 32, parts = 32))
+      SuffixIndex.removeRanges(idx, MinLen)
+    }),
+
     // C2: token-unit substring dedup -- minLen counted in whitespace
     // tokens over rolling 61-bit token-id hashes, token-exact verified
     // (the reference's u16/u32 tokenized-indexing surface).
@@ -559,6 +569,7 @@ object SparkEntry {
 
     "a1_remove_ranges" -> removeRangesOracle(docsWithDupsSql),
     "a2_remove_ranges_sortscan" -> removeRangesOracle(docsWithDupsSql),
+    "sa_index_remove_ranges" -> removeRangesOracle(docsWithDupsSql),
 
     // token-window equality expressed as equality of the space-joined
     // token slice (tokens are split on ' ', so the join is unambiguous)

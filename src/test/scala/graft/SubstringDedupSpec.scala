@@ -175,6 +175,61 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!html.contains("�") && html.contains("""<span class="dropped">"""))
   }
 
+  test("suffix index: one prefix-doubling build answers multiple minLens == per-minLen path") {
+    // docs long enough for minLen 32/64 windows, with planted verbatim
+    // copies (cross-doc dups) and a repeated intra-doc run
+    val r = new scala.util.Random(11)
+    val base = (0 until 12).map { i =>
+      (i.toLong, (0 until (70 + r.nextInt(60))).map(_ => "abcd"(r.nextInt(4))).mkString)
+    }
+    val docs = base ++ base.take(4).map { case (k, t) => (k + 100L, t) } :+
+      (200L, base.head._2.take(70) * 2) // intra-doc repeat of a 70-byte run
+    val df = spark_(docs)
+    val index = operators.SuffixIndex.build(df, operators.SuffixIndex.Config(maxDepth = 64, parts = 8))
+      .localCheckpoint(true) // build once, query twice
+    for (minLen <- Seq(32, 64)) {
+      val viaIndex = operators.SuffixIndex.removeRanges(index, minLen)
+        .as[(Long, Long, Long)].collect().toSet
+      val perMinLen = SubstringDedup.removeRanges(df, SubstringDedup.Config(minLen))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(viaIndex == perMinLen, s"minLen=$minLen")
+      assert(viaIndex == bruteRanges(docs, minLen), s"minLen=$minLen vs brute")
+    }
+  }
+
+  test("suffix index: lcp values are exact against brute-force suffix comparison") {
+    val docs = Seq((1L, "banana"), (2L, "bananas are bananas"), (3L, "anab"))
+    val df = spark_(docs)
+    val maxDepth = 8
+    val idx = operators.SuffixIndex.build(df, operators.SuffixIndex.Config(maxDepth, parts = 4))
+      .orderBy("gidx")
+      .select("k", "pos", "lcp").as[(Long, Long, Option[Long])].collect()
+    val texts = docs.toMap
+    def suffix(k: Long, p: Long): String = {
+      val t = texts(k); t.substring(p.toInt, math.min(t.length, p.toInt + maxDepth))
+    }
+    // brute order: bounded-depth suffixes, ties by (k, pos)
+    val bruteOrder = docs.flatMap { case (k, t) =>
+      (0 until t.length).map(p => (suffix(k, p), k, p.toLong))
+    }.sorted
+    idx.zipWithIndex.foreach { case ((k, p, lcpOpt), i) =>
+      val (bs, bk, bp) = bruteOrder(i)
+      // rank ties may permute, but the bounded suffix STRING at each
+      // order slot is unique-or-tied, so compare strings not (k,pos)
+      assert(suffix(k, p) == bs, s"order slot $i: (${k},${p}) vs (${bk},${bp})")
+      if (i == 0) assert(lcpOpt.isEmpty)
+      else {
+        val prevS = bruteOrder(i - 1)._1
+        // bounded-equal suffixes (rank ties, incl. truncated-equal) store
+        // the cap; otherwise the exact common-prefix length
+        val expected =
+          if (bs == prevS) maxDepth
+          else math.min(bs.zip(prevS).takeWhile { case (a, b) => a == b }.size, maxDepth)
+        assert(lcpOpt.contains(expected.toLong), s"slot $i lcp: got $lcpOpt want $expected")
+      }
+    }
+  }
+
   test("A9 index-order verification: sorted window frame has no violations") {
     for (seed <- Seq(1, 4)) {
       val docs = spark_(randomDocs(seed, 40, "ab")) // dense duplicate runs
