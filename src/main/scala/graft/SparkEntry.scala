@@ -160,7 +160,7 @@ object SparkEntry {
   val AnnTables = 4
   val AnnPlaneBits = 4
 
-  private def intVecs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def intVecs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").cast("long").as("id")).as[Long]
