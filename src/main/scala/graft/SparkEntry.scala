@@ -29,7 +29,7 @@ object SparkEntry {
       .select(col("doc_id").cast("long").as("k"), col("text"))
 
   /** every doc_id % 7 == 0 doc reappears verbatim under doc_id + 1000000 */
-  private def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
     val d = baseDocs(spark, dir)
     d.unionAll(d.where(col("k") % 7 === 0)
       .select((col("k") + 1000000L).as("k"), col("text")))

@@ -185,15 +185,40 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
     val docs = base ++ base.take(4).map { case (k, t) => (k + 100L, t) } :+
       (200L, base.head._2.take(70) * 2) // intra-doc repeat of a 70-byte run
     val df = spark_(docs)
-    val index = operators.SuffixIndex.build(df, operators.SuffixIndex.Config(maxDepth = 64, parts = 8))
-      .localCheckpoint(true) // build once, query twice
-    for (minLen <- Seq(32, 64)) {
-      val viaIndex = operators.SuffixIndex.removeRanges(index, minLen)
+    // both LCP modes: direct byte-compare (small-maxDepth default) and
+    // the doubling walk over level tables (large-maxDepth default)
+    for (viaBytes <- Seq(true, false)) {
+      val index = operators.SuffixIndex.build(df,
+        operators.SuffixIndex.Config(maxDepth = 64, parts = 8,
+          lcpViaBytes = Some(viaBytes)))
+        .localCheckpoint(true) // build once, query twice
+      for (minLen <- Seq(32, 64)) {
+        val viaIndex = operators.SuffixIndex.removeRanges(index, minLen)
+          .as[(Long, Long, Long)].collect().toSet
+        val perMinLen = SubstringDedup.removeRanges(df, SubstringDedup.Config(minLen))
+          .as[(Long, Long, Long)].collect().toSet
+        assert(viaIndex == perMinLen, s"minLen=$minLen viaBytes=$viaBytes")
+        assert(viaIndex == bruteRanges(docs, minLen), s"minLen=$minLen viaBytes=$viaBytes vs brute")
+      }
+    }
+  }
+
+  test("suffix index: fixed-point early stop (maxDepth far above longest repeat) stays exact") {
+    // longest repeated substring is ~6 bytes but maxDepth is 256: the
+    // class partition stabilizes after ~3 doubling rounds and the build
+    // must stop there without changing any answer
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "sphinx of black quartz judge my vow"))
+    val df = spark_(docs)
+    for (viaBytes <- Seq(true, false)) {
+      val idx = operators.SuffixIndex.build(df,
+        operators.SuffixIndex.Config(maxDepth = 256, parts = 4,
+          lcpViaBytes = Some(viaBytes)))
+      val viaIndex = operators.SuffixIndex.removeRanges(idx, 4)
         .as[(Long, Long, Long)].collect().toSet
-      val perMinLen = SubstringDedup.removeRanges(df, SubstringDedup.Config(minLen))
-        .as[(Long, Long, Long)].collect().toSet
-      assert(viaIndex == perMinLen, s"minLen=$minLen")
-      assert(viaIndex == bruteRanges(docs, minLen), s"minLen=$minLen vs brute")
+      assert(viaIndex == bruteRanges(docs, 4), s"viaBytes=$viaBytes")
     }
   }
 
@@ -201,7 +226,9 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
     val docs = Seq((1L, "banana"), (2L, "bananas are bananas"), (3L, "anab"))
     val df = spark_(docs)
     val maxDepth = 8
-    val idx = operators.SuffixIndex.build(df, operators.SuffixIndex.Config(maxDepth, parts = 4))
+    for (viaBytes <- Seq(true, false)) {
+    val idx = operators.SuffixIndex.build(df,
+      operators.SuffixIndex.Config(maxDepth, parts = 4, lcpViaBytes = Some(viaBytes)))
       .orderBy("gidx")
       .select("k", "pos", "lcp").as[(Long, Long, Option[Long])].collect()
     val texts = docs.toMap
@@ -225,8 +252,9 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
         val expected =
           if (bs == prevS) maxDepth
           else math.min(bs.zip(prevS).takeWhile { case (a, b) => a == b }.size, maxDepth)
-        assert(lcpOpt.contains(expected.toLong), s"slot $i lcp: got $lcpOpt want $expected")
+        assert(lcpOpt.contains(expected.toLong), s"slot $i lcp (viaBytes=$viaBytes): got $lcpOpt want $expected")
       }
+    }
     }
   }
 
