@@ -37,6 +37,7 @@ object Bench {
       .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

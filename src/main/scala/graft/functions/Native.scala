@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+
+/** Row-level kernels behind the native Catalyst expressions. A top-level
+  * Scala object gets Java static forwarders, so Janino-generated code can
+  * call `graft.functions.NativeKernels.simhash64(b, n)` directly -- the
+  * expressions below stay inside whole-stage codegen with a single static
+  * call, no Row boxing and no UDF closure dispatch.
+  */
+object NativeKernels {
+
+  /** Common prefix length (bytes) of two byte arrays. */
+  def lcp(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n && a(i) == b(i)) i += 1
+    i.toLong
+  }
+
+  /** 61-bit polynomial rolling hash of the whole byte string at `base`
+    * (the same hash family as window generation, mod 2^61 - 1).
+    */
+  def polyhash61(b: Array[Byte], base: Long): Long =
+    PolyHash.hash(b, 0, b.length, base)
+
+  /** 64-bit SimHash over all byte n-gram shingles (bag semantics). */
+  def simhash64(b: Array[Byte], n: Int): Long =
+    Shingles.simhash64(Shingles.allHashes(b, n))
+
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  /** k-permutation MinHash signature over DISTINCT byte n-gram shingles
+    * (set semantics; Long.MaxValue sentinels when the doc is shorter
+    * than n). Seed schedules are cached per k.
+    */
+  def minhash(b: Array[Byte], n: Int, k: Int): ArrayData = {
+    val seeds = seedCache.computeIfAbsent(k, kk => Shingles.seeds(kk))
+    UnsafeArrayData.fromPrimitiveArray(
+      Shingles.minhashSignature(Shingles.distinctHashes(b, n), seeds))
+  }
+}
+
+/** `graft_lcp(a, b)`: common prefix length of two binary values. */
+case class GraftLcp(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_lcp"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.lcp(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeKernels.lcp($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `graft_polyhash61(bytes, base)`: 61-bit polynomial hash of a binary
+  * value -- the engine's window/shingle hash family, exposed to SQL.
+  */
+case class GraftPolyHash61(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_polyhash61"
+  override protected def nullSafeEval(b: Any, base: Any): Any =
+    NativeKernels.polyhash61(b.asInstanceOf[Array[Byte]], base.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, base) => s"graft.functions.NativeKernels.polyhash61($b, $base)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `graft_simhash64(bytes, n)`: 64-bit SimHash over byte n-gram
+  * shingles of a binary value.
+  */
+case class GraftSimHash64(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash64"
+  override protected def nullSafeEval(b: Any, n: Any): Any =
+    NativeKernels.simhash64(b.asInstanceOf[Array[Byte]], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, n) => s"graft.functions.NativeKernels.simhash64($b, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `graft_minhash(bytes, n, k)`: k-permutation MinHash signature
+  * (array<bigint>) over distinct byte n-gram shingles.
+  */
+case class GraftMinHash(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash"
+  override protected def nullSafeEval(b: Any, n: Any, k: Any): Any =
+    NativeKernels.minhash(b.asInstanceOf[Array[Byte]], n.asInstanceOf[Int], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, n, k) => s"graft.functions.NativeKernels.minhash($b, $n, $k)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** The engine's SQL function surface: native codegen expressions plus
+  * the UTF-8 writeback UDFs, injectable into any session via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`).
+  */
+object GraftFunctions {
+  private def column(e: Expression): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def expr(c: Column): Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+
+  // ---- Column-side wrappers (usable without any registration) ----
+
+  /** Common prefix length (bytes) of two binary columns. */
+  def lcp(a: Column, b: Column): Column = column(GraftLcp(expr(a), expr(b)))
+
+  /** 61-bit polynomial hash of a binary column at `base`. */
+  def polyhash61(b: Column, base: Long): Column =
+    column(GraftPolyHash61(expr(b), org.apache.spark.sql.catalyst.expressions.Literal(base)))
+
+  /** 64-bit SimHash over byte n-gram shingles of a binary column. */
+  def simhash64(b: Column, n: Int): Column =
+    column(GraftSimHash64(expr(b), org.apache.spark.sql.catalyst.expressions.Literal(n)))
+
+  /** k-permutation MinHash signature over distinct byte n-gram shingles. */
+  def minhash(b: Column, n: Int, k: Int): Column =
+    column(GraftMinHash(expr(b),
+      org.apache.spark.sql.catalyst.expressions.Literal(n),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)))
+
+  // ---- SQL registration (FunctionRegistry descriptions) ----
+
+  private def desc(name: String, usage: String, arity: Int,
+                   build: Seq[Expression] => Expression) = {
+    val info = new ExpressionInfo(getClass.getName, null, name, usage, "")
+    val checked: Seq[Expression] => Expression = { exprs =>
+      require(exprs.length == arity,
+        s"$name expects $arity arguments, got ${exprs.length}")
+      build(exprs)
+    }
+    (FunctionIdentifier(name), info, checked)
+  }
+
+  /** Native-expression descriptions for SparkSessionExtensions. */
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    desc("graft_lcp",
+      "graft_lcp(a, b) - common prefix length (bytes) of two binary values",
+      2, es => GraftLcp(es(0), es(1))),
+    desc("graft_polyhash61",
+      "graft_polyhash61(bytes, base) - 61-bit polynomial rolling hash (mod 2^61-1)",
+      2, es => GraftPolyHash61(es(0), es(1))),
+    desc("graft_simhash64",
+      "graft_simhash64(bytes, n) - 64-bit SimHash over byte n-gram shingles",
+      2, es => GraftSimHash64(es(0), es(1))),
+    desc("graft_minhash",
+      "graft_minhash(bytes, n, k) - k-permutation MinHash signature over distinct byte n-gram shingles",
+      3, es => GraftMinHash(es(0), es(1), es(2))))
+
+  /** Register the UTF-8 writeback UDFs on an existing session (UDFs ride
+    * the public UDFRegistration, not the extension hook):
+    * `graft_clip_ranges(bytes, ranges)` and
+    * `graft_remove_mode(bytes, ranges)` with
+    * ranges: array<struct<s:bigint, e:bigint>>.
+    */
+  def registerUdfs(spark: SparkSession): Unit = {
+    spark.udf.register("graft_clip_ranges", Utf8.clipRangesUdf)
+    spark.udf.register("graft_remove_mode", Utf8.removeModeUdf)
+  }
+}
+
+/** SparkSessionExtensions entry point: activate with
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(ext.injectFunction)
+}

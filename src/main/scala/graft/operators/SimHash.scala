@@ -12,20 +12,20 @@ import graft.functions.Shingles
   */
 object SimHash {
 
-  /** docs(k, text) -> (k, simhash: long). */
+  /** docs(k, text) -> (k, simhash: long). The fingerprint is the native
+    * codegen expression GraftSimHash64 (same kernel), so the whole map
+    * fuses into the scan's WholeStageCodegen span -- no Dataset object
+    * round-trip. Null text yields no fingerprint (emitting a shared
+    * constant would cluster every caption-less doc at Hamming distance
+    * 0); the null-intolerant expression propagates the null and the
+    * filter drops it.
+    */
   def simhashes(docs: DataFrame, shingleLen: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val n = shingleLen
     docs
-      .select(col("k").cast("long"), encode(col("text"), "UTF-8").as("b"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (k, b) =>
-        // null text: no fingerprint (emitting a shared constant would
-        // cluster every caption-less doc at Hamming distance 0)
-        if (b == null) None else Some((k, Shingles.simhash64(Shingles.allHashes(b, n))))
-      })
-      .toDF("k", "simhash")
+      .select(col("k").cast("long"),
+        graft.functions.GraftFunctions
+          .simhash64(encode(col("text"), "UTF-8"), shingleLen).as("simhash"))
+      .where(col("simhash").isNotNull)
   }
 
   /** Near-dup pairs (a < b, hamming distance) at Hamming radius r. */

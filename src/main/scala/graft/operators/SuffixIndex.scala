@@ -249,12 +249,6 @@ object SuffixIndex {
           }
         }
         .toDF("k", "pos", "pfx")
-      val lcpBytes = udf { (a: Array[Byte], b: Array[Byte]) =>
-        val n = math.min(a.length, b.length)
-        var i = 0
-        while (i < n && a(i) == b(i)) i += 1
-        i.toLong
-      }
       val withPfx = ordered0.join(prefixes, Seq("k", "pos"))
       val prev = withPfx.select((col("gidx") + 1L).as("gidx"),
         col("rank").as("prank"), col("pfx").as("ppfx"))
@@ -262,7 +256,7 @@ object SuffixIndex {
         .withColumn("lcp",
           when(col("prank").isNull, lit(null).cast("long"))
             .when(col("prank") === col("rank"), lit(cfg.maxDepth.toLong))
-            .otherwise(lcpBytes(col("pfx"), col("ppfx"))))
+            .otherwise(graft.functions.GraftFunctions.lcp(col("pfx"), col("ppfx"))))
         .select("gidx", "k", "pos", "slen", "rank", "lcp")
     } else {
       val prev = ordered0.select((col("gidx") + 1L).as("gidx"),
