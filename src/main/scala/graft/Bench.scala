@@ -98,9 +98,12 @@ object Bench {
     val inDir = s"$base/jsonl-in-$nDocs"
     val bytes = graft.sources.JsonlGen.writeTree(spark, inDir, nDocs)
     val outDir = s"$base/jsonl-out-$nDocs"
+    // default "gzip" = the library-default level, like the reference's
+    // writer; SPARK_GRAFT_JSONL_CODEC=gzip:1 A/Bs the throughput setting
+    val codec = sys.env.getOrElse("SPARK_GRAFT_JSONL_CODEC", "gzip")
     val t0 = System.nanoTime()
     val res = JsonlDedupJob.run(spark, inDir, outDir, minLen = 500,
-      mode = "annotate", compression = "gzip")
+      mode = "annotate", compression = codec)
     val nFiles = res.written.count()
     val sec = (System.nanoTime() - t0) / 1e9
     require(nFiles > 0, "jsonl writeback produced no files")

@@ -23,9 +23,10 @@ object DebugPass {
         System.err.println(f"[v] $name%-22s $sec%7.2f s  rows=$n  (${bytes / 1e6 / sec}%.1f MB/s)")
       }
     time("read_only")(JsonlDedupJob.readTree(spark, inDir).count())
-    time("workflow_full") {
+    val codec = sys.env.getOrElse("SPARK_GRAFT_JSONL_CODEC", "gzip")
+    time(s"workflow_full[$codec]") {
       JsonlDedupJob.run(spark, inDir, s"/dev/shm/graft-fixtures/jsonl-dbg-out-$nDocs",
-        minLen = 500, mode = "annotate", compression = "gzip").written.count()
+        minLen = 500, mode = "annotate", compression = codec).written.count()
     }
     val parsed = JsonlDedupJob.readTree(spark, inDir)
       .select(col("k"), col("text")).localCheckpoint(true)

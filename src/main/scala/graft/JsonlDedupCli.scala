@@ -40,7 +40,7 @@ object JsonlDedupCli {
     argv match {
       case in :: out :: rest => loop(Args(in, out), rest)
       case _ => throw new IllegalArgumentException(
-        "usage: <inDir> <outDir> [--minlen N] [--mode annotate|remove] [--compression gzip|zstd|none] [--stage-dir DIR] [--unit bytes|tokens|ids] [--reversed]")
+        "usage: <inDir> <outDir> [--minlen N] [--mode annotate|remove] [--compression gzip[:1-9]|zstd[:lvl]|none] [--stage-dir DIR] [--unit bytes|tokens|ids] [--reversed]")
     }
   }
 

@@ -35,7 +35,13 @@ object Writeback {
     * (e.g. `.count()`) to execute the write.
     *
     * compression: "gzip" | "zstd" | "none" (reference supports the same
-    * three, write_back_to_jsonl_sharded.py:39-56).
+    * three, write_back_to_jsonl_sharded.py:39-56), optionally with an
+    * explicit codec level -- "gzip:1".."gzip:9" / "zstd:-7".."zstd:22".
+    * The level only trades output size vs writer CPU; the file format
+    * (and the mirrored tree's suffix) is unchanged. At corpus scale the
+    * writeback is CPU-bound on deflate, so "gzip:1" is the throughput
+    * setting and the bare names keep each library's default
+    * (gzip 6 / zstd 3), matching the reference's defaults.
     */
   def jsonlTree(docs: DataFrame, outDir: String,
                 pathCol: String = "path", linenumCol: String = "linenum",
@@ -43,7 +49,15 @@ object Writeback {
                 numPartitions: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    require(Set("gzip", "zstd", "none")(compression), s"unknown compression $compression")
+    val (codec, level) = compression.split(":") match {
+      case Array(c) => (c, None)
+      case Array(c, l) => (c, Some(l.toInt))
+      case _ => throw new IllegalArgumentException(s"unknown compression $compression")
+    }
+    require(Set("gzip", "zstd", "none")(codec), s"unknown compression $compression")
+    require(level.isEmpty || codec != "none", s"'none' takes no level: $compression")
+    level.foreach(l => if (codec == "gzip")
+      require(l >= 1 && l <= 9, s"gzip level must be 1..9: $compression"))
     val payload = docs.columns.filter(c => c != pathCol && c != linenumCol)
     val keyed = docs.select(
         col(pathCol).as("_p"),
@@ -57,7 +71,7 @@ object Writeback {
                 else keyed.repartition(col("_p")))
       .sortWithinPartitions("_p", "_ln")
       .as[(String, Long, String)]
-    val suffix = compression match {
+    val suffix = codec match {
       case "gzip" => ".gz"; case "zstd" => ".zst"; case _ => ""
     }
     val hadoopProps = HadoopConfs.snapshot(spark)
@@ -117,10 +131,15 @@ object Writeback {
           target = new Path(outDir, p + suffix)
           tmp = new Path(outDir, p + suffix + s".$attempt.inprogress")
           val raw = tmp.getFileSystem(conf).create(tmp, true)
-          os = compression match {
-            case "gzip" => new java.util.zip.GZIPOutputStream(raw)
-            case "zstd" => new com.github.luben.zstd.ZstdOutputStream(raw)
-            case _      => raw
+          os = codec match {
+            case "gzip" => new java.util.zip.GZIPOutputStream(raw) {
+              level.foreach(`def`.setLevel(_)) // Deflater field is `def`
+            }
+            case "zstd" => level match {
+              case Some(l) => new com.github.luben.zstd.ZstdOutputStream(raw, l)
+              case None => new com.github.luben.zstd.ZstdOutputStream(raw)
+            }
+            case _ => raw
           }
         }
         os.write((js + "\n").getBytes(StandardCharsets.UTF_8))

@@ -71,6 +71,18 @@ class WritebackSpec extends AnyFunSuite with SparkTestBase {
   }
   test("writeback roundtrip, zstd") { roundtrip("zstd", ".zst") }
   test("writeback roundtrip, uncompressed") { roundtrip("none", "") }
+  test("writeback roundtrip, explicit codec levels (gzip:1, zstd:19)") {
+    roundtrip("gzip:1", ".gz")
+    roundtrip("zstd:19", ".zst")
+  }
+  test("writeback rejects malformed codec levels") {
+    intercept[IllegalArgumentException](
+      Writeback.jsonlTree(annotated, "/tmp/never", compression = "gzip:0"))
+    intercept[IllegalArgumentException](
+      Writeback.jsonlTree(annotated, "/tmp/never", compression = "none:1"))
+    intercept[IllegalArgumentException](
+      Writeback.jsonlTree(annotated, "/tmp/never", compression = "lz4"))
+  }
 
   test("writeback preserves original line order within each file") {
     val out = Files.createTempDirectory("graft_wb_order").toString
