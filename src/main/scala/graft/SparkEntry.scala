@@ -372,6 +372,17 @@ object SparkEntry {
     "simhash_values" -> ((s, dir) =>
       SimHash.simhashes(asciiGuard(baseDocs(s, dir)).where(length(col("text")) >= 5), 5)),
 
+    // 2.J SQL surface: the same fingerprints computed from PLAIN SQL via
+    // the session-extension-registered native expression (graft_simhash64,
+    // functions/Native.scala) -- proves the FunctionRegistry path end-to-
+    // end inside the driver gate, same oracle as simhash_values.
+    "simhash_values_sql" -> ((s, dir) => {
+      asciiGuard(baseDocs(s, dir)).where(length(col("text")) >= 5)
+        .createOrReplaceTempView("graft_simhash_in")
+      s.sql("SELECT k, graft_simhash64(encode(text, 'UTF-8'), 5) AS simhash" +
+        " FROM graft_simhash_in")
+    }),
+
     // D8: Hamming-radius pairs via pigeonhole banding (pairs() dispatches
     // by measured size/skew; at fixture size that is the flat plan).
     "d8_hamming_pairs" -> ((s, dir) =>
@@ -752,6 +763,8 @@ object SparkEntry {
     "d7_lsh_candidates" -> OracleSqlGen.candidatePairsSql(docsWithNearDupsSql, lshOracleCfg),
     "d7_lsh_verified" -> OracleSqlGen.verifiedPairsSql(docsWithNearDupsSql, lshOracleCfg, 0.6),
     "simhash_values" -> OracleSqlGen.simhashSql(
+      "SELECT CAST(doc_id AS BIGINT) AS k, text FROM documents WHERE length(text) >= 5", 5),
+    "simhash_values_sql" -> OracleSqlGen.simhashSql(
       "SELECT CAST(doc_id AS BIGINT) AS k, text FROM documents WHERE length(text) >= 5", 5),
 
     "d8_hamming_pairs" ->
