@@ -46,6 +46,46 @@ object NativeKernels {
     UnsafeArrayData.fromPrimitiveArray(
       Shingles.minhashSignature(Shingles.distinctHashes(b, n), seeds))
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken MOSS): rolling
+    * hash of every byte n-gram, each sliding window of w consecutive
+    * hashes contributes its minimum, result = the DISTINCT selected
+    * values. Trailing windows shorten naturally (frame
+    * [i, min(i+w-1, last)], the SQL `ROWS BETWEEN CURRENT ROW AND w-1
+    * FOLLOWING` frame). O(len) via a monotone deque -- each hash enters
+    * and leaves at most once; equal values keep the later index (same
+    * minimum VALUE, and only values are selected).
+    */
+  def winnow(b: Array[Byte], n: Int, w: Int): ArrayData = {
+    require(w >= 1, "window w must be >= 1")
+    val h = if (b == null) Array.emptyLongArray
+            else PolyHash.windowHashes(b, n, PolyHash.B1)
+    val m = h.length
+    val out = scala.collection.mutable.LongMap.empty[Unit]
+    if (m > 0) {
+      val q = new Array[Int](m)
+      var qb = 0; var qe = 0
+      var j = 0
+      while (j < m) {
+        while (qe > qb && h(q(qe - 1)) >= h(j)) qe -= 1
+        q(qe) = j; qe += 1
+        val start = j - w + 1 // full window [start, j]
+        if (start >= 0) {
+          while (q(qb) < start) qb += 1
+          out.update(h(q(qb)), ())
+        }
+        j += 1
+      }
+      // trailing shortened windows [i, m-1]: suffix minima off the deque
+      var i = math.max(0, m - w + 1)
+      while (i < m) {
+        while (q(qb) < i) qb += 1
+        out.update(h(q(qb)), ())
+        i += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out.keysIterator.toArray)
+  }
 }
 
 /** `graft_lcp(a, b)`: common prefix length of two binary values. */
@@ -114,6 +154,23 @@ case class GraftMinHash(first: Expression, second: Expression, third: Expression
     copy(first = f, second = s, third = t)
 }
 
+/** `graft_winnow(bytes, n, w)`: distinct winnowing fingerprints
+  * (array<bigint>) -- min-of-each-w-window over rolling n-gram hashes.
+  */
+case class GraftWinnow(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_winnow"
+  override protected def nullSafeEval(b: Any, n: Any, w: Any): Any =
+    NativeKernels.winnow(b.asInstanceOf[Array[Byte]], n.asInstanceOf[Int], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, n, w) => s"graft.functions.NativeKernels.winnow($b, $n, $w)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** The engine's SQL function surface: native codegen expressions plus
   * the UTF-8 writeback UDFs, injectable into any session via
   * `spark.sql.extensions=graft.functions.GraftExtensions` (or
@@ -144,6 +201,12 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.Literal(n),
       org.apache.spark.sql.catalyst.expressions.Literal(k)))
 
+  /** Distinct winnowing fingerprints of a binary column. */
+  def winnow(b: Column, n: Int, w: Int): Column =
+    column(GraftWinnow(expr(b),
+      org.apache.spark.sql.catalyst.expressions.Literal(n),
+      org.apache.spark.sql.catalyst.expressions.Literal(w)))
+
   // ---- SQL registration (FunctionRegistry descriptions) ----
 
   private def desc(name: String, usage: String, arity: Int,
@@ -170,7 +233,10 @@ object GraftFunctions {
       2, es => GraftSimHash64(es(0), es(1))),
     desc("graft_minhash",
       "graft_minhash(bytes, n, k) - k-permutation MinHash signature over distinct byte n-gram shingles",
-      3, es => GraftMinHash(es(0), es(1), es(2))))
+      3, es => GraftMinHash(es(0), es(1), es(2))),
+    desc("graft_winnow",
+      "graft_winnow(bytes, n, w) - distinct winnowing (MOSS) fingerprints over rolling n-gram hashes",
+      3, es => GraftWinnow(es(0), es(1), es(2))))
 
   /** Register the UTF-8 writeback UDFs on an existing session (UDFs ride
     * the public UDFRegistration, not the extension hook):

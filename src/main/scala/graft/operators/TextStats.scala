@@ -115,45 +115,14 @@ object TextStats {
     */
   def winnowFingerprints(docs: DataFrame, n: Int, w: Int,
                          textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     require(w >= 1, "window w must be >= 1")
-    docs.select(col("k").cast("long"), encode(col(textCol), "UTF-8").as("b"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (k, b) =>
-        val h = if (b == null) Array.emptyLongArray
-          else PolyHash.windowHashes(b, n, PolyHash.B1)
-        val m = h.length
-        val out = scala.collection.mutable.LongMap.empty[Unit]
-        if (m > 0) {
-          // deque of indices whose hashes are strictly increasing; the
-          // front is the minimum of the current w-window. Equal values
-          // keep the later index (same minimum VALUE, and the selected
-          // fingerprint set only contains values).
-          val q = new Array[Int](m)
-          var qb = 0; var qe = 0
-          var j = 0
-          while (j < m) {
-            while (qe > qb && h(q(qe - 1)) >= h(j)) qe -= 1
-            q(qe) = j; qe += 1
-            val start = j - w + 1 // full window [start, j]
-            if (start >= 0) {
-              while (q(qb) < start) qb += 1
-              out.update(h(q(qb)), ())
-            }
-            j += 1
-          }
-          // trailing shortened windows [i, m-1] for i > m-w: suffix minima
-          // read straight off the surviving deque front
-          var i = math.max(0, m - w + 1)
-          while (i < m) {
-            while (q(qb) < i) qb += 1
-            out.update(h(q(qb)), ())
-            i += 1
-          }
-        }
-        out.keysIterator.map(fp => (k, fp))
-      })
-      .toDF("k", "fp")
+    // the deque selection runs inside the native GraftWinnow expression
+    // (functions/Native.scala): one codegen'd kernel call per doc fused
+    // into the scan, then a generate -- no Dataset object round-trip.
+    // explode() of the null-text row's null array emits nothing, matching
+    // the old null-handling.
+    docs.select(col("k").cast("long"),
+        explode(graft.functions.GraftFunctions
+          .winnow(encode(col(textCol), "UTF-8"), n, w)).as("fp"))
   }
 }

@@ -80,6 +80,20 @@ class NativeFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getSeq[Long](1) == Seq.fill(3)(Long.MaxValue))
   }
 
+  test("graft_winnow: SQL output matches the kernel; guarantee holds") {
+    val t = "the winnowing guarantee says shared runs share a fingerprint"
+    val got = spark.sql(
+      s"SELECT graft_winnow(encode('$t', 'UTF-8'), 8, 4) AS fp")
+      .collect()(0).getSeq[Long](0).toSet
+    val want = {
+      val arr = graft.functions.NativeKernels.winnow(bytes(t), 8, 4)
+      (0 until arr.numElements()).map(arr.getLong).toSet
+    }
+    assert(got == want && got.nonEmpty)
+    // at least one fingerprint per w positions
+    assert(got.size * 4 >= bytes(t).length - 8 + 1 - 3)
+  }
+
   test("registerUdfs: writeback UDFs reachable from SQL") {
     GraftFunctions.registerUdfs(spark)
     val out = spark.sql(
