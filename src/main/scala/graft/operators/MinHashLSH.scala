@@ -52,21 +52,32 @@ object MinHashLSH {
     * dropped, before any self-join can see them.
     */
   def signatures(docs: DataFrame, cfg: Config): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val seeds = Shingles.seeds(cfg.numHashes)
-    val shingler = shinglesOf(cfg)
-    docs
-      .select(col("k").cast("long"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (k, t0) =>
-          val t = if (t0 == null) "" else t0 // null text = empty shingle set
-          val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          (k, Shingles.minhashSignature(shingler(t, b), seeds))
+    if (!cfg.wordShingles) {
+      // byte-shingle mode rides the native GraftMinHash expression (same
+      // kernel/seed schedule), fused into the scan's codegen span; null
+      // text coalesces to empty bytes = the empty shingle set, keeping
+      // the signature total per contract.
+      docs.select(col("k").cast("long"),
+        graft.functions.GraftFunctions.minhash(
+          coalesce(encode(col("text"), "UTF-8"), lit(Array.emptyByteArray)),
+          cfg.shingleLen, cfg.numHashes).as("sig"))
+    } else {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val seeds = Shingles.seeds(cfg.numHashes)
+      val shingler = shinglesOf(cfg)
+      docs
+        .select(col("k").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (k, t0) =>
+            val t = if (t0 == null) "" else t0 // null text = empty shingle set
+            val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            (k, Shingles.minhashSignature(shingler(t, b), seeds))
+          }
         }
-      }
-      .toDF("k", "sig")
+        .toDF("k", "sig")
+    }
   }
 
   /** (k, band, band_hash): one row per doc per band; band_hash folds the
