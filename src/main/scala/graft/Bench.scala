@@ -169,13 +169,14 @@ object Bench {
         pipelinePass(spark, fixtureBase, 12000)
         // gate the measured window on host quiet (bounded wait): a run
         // started into a neighbor's load spike never beats the min anyway.
-        // Stricter than the headline gate (6.0 vs 8.0, longer wait): the
-        // min-of-N estimator only needs ONE clean window per level, and a
-        // window released at load ~8 under-provisions the wider levels
+        // The min-of-N estimator only needs ONE clean window per level, and
+        // a window released at load ~8 under-provisions the wider levels
         // (local[8]/local[32] share the busy socket), which is exactly the
         // r1-r4 failure mode where driver-run efficiency landed 0.77-0.78
-        // while quiet-window runs measured 0.82-0.88.
-        val l = awaitQuiet(threshold = 6.0, maxWaitSec = 180)
+        // while quiet-window runs measured 0.82-0.88. 4.0 (not 6.0):
+        // awaitQuiet releases the FIRST dip under the threshold, so a 6.0
+        // gate starts windows at ~5.7-6.0 on the bench's own decay curve.
+        val l = awaitQuiet(threshold = 4.0, maxWaitSec = 240)
         val st = pipelinePass(spark, fixtureBase, nBase)
         n = st.nImages
         times(cpus) = st.sec :: times(cpus)
@@ -254,8 +255,15 @@ object Bench {
     // single timings on this shared host are noise -- BASELINE.md
     // methodology), with the load at each release recorded in the
     // artifact so an outlier window is visible, not mysterious
+    // threshold 4.0 (not the storm-detection 8.0): awaitQuiet releases the
+    // FIRST moment load1 dips under the threshold, and after a 32-thread
+    // pass the bench's OWN decaying load crosses 8.0 while still ~2 min of
+    // decay from quiet -- every r4/r5 headline window released at 7.5-8.0
+    // and measured hot on an otherwise idle host. 4.0 + a 240 s bound
+    // rides the decay curve down before starting the clock.
     val pipeRuns = (1 to 3).map { _ =>
-      val l = awaitQuiet(); (pipelinePass(spark, fixtureBase, nBase), l)
+      val l = awaitQuiet(threshold = 4.0, maxWaitSec = 240)
+      (pipelinePass(spark, fixtureBase, nBase), l)
     }
     val pipe = pipeRuns.map(_._1).minBy(_.sec)
     val pipeLoads = pipeRuns.map(_._2)
@@ -263,7 +271,8 @@ object Bench {
 
     val nJsonlDocs = sys.env.getOrElse("SPARK_GRAFT_JSONL_DOCS", "50000").toInt
     val jsonlRuns = (1 to 3).map { _ =>
-      val l = awaitQuiet(); (jsonlPass(spark, "/dev/shm/graft-fixtures", nJsonlDocs), l)
+      val l = awaitQuiet(threshold = 4.0, maxWaitSec = 240)
+      (jsonlPass(spark, "/dev/shm/graft-fixtures", nJsonlDocs), l)
     }
     val (jBytes, jSec, jFiles) = jsonlRuns.map(_._1).minBy(_._2)
     val jsonlLoads = jsonlRuns.map(_._2)

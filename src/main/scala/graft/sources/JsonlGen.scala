@@ -75,4 +75,18 @@ object JsonlGen {
     spark.read.option("recursiveFileLookup", "true").json(dir)
       .agg(sum(octet_length(encode(col("text"), "UTF-8")))).as[Long].collect()(0)
   }
+
+  /** spark-submit entry (`--class graft.sources.JsonlGen <jar> <dir>
+    * <nDocs> [files]`) so the full workflow demo -- generate, dedup,
+    * writeback -- runs through `spark-submit` alone, no sbt classpath
+    * (dev/spark_submit_e2e.sh).
+    */
+  def main(argv: Array[String]): Unit = {
+    require(argv.length >= 2, "usage: <dir> <nDocs> [files]")
+    val spark = SparkSession.builder().appName("graft-jsonl-gen").getOrCreate()
+    val bytes = writeTree(spark, argv(0), argv(1).toInt,
+      if (argv.length > 2) argv(2).toInt else 96)
+    System.err.println(s"[graft] generated ${argv(1)} docs / $bytes text bytes under ${argv(0)}")
+    spark.stop()
+  }
 }
