@@ -270,7 +270,11 @@ object Bench {
     System.err.println(f"[bench] pipeline: ${pipe.nImages} images (${pipe.corpusBytes / 1e6}%.1f MB) in ${pipe.sec}%.2f s = ${pipe.imagesPerSec}%.0f images/s = ${pipe.mbPerSec}%.2f MB/s (runs: ${pipeRuns.map(r => f"${r._1.sec}%.1f").mkString(", ")}; loads: ${pipeLoads.map(l => f"$l%.1f").mkString(", ")})")
 
     val nJsonlDocs = sys.env.getOrElse("SPARK_GRAFT_JSONL_DOCS", "50000").toInt
-    val jsonlRuns = (1 to 3).map { _ =>
+    // min-of-4 (not 3): this phase is ~30 s/run, short enough that one
+    // neighbor storm can shade all of a 3-window sample (r5: 36.1/37.9/
+    // 28.8 s vs a same-day quiet 23.6 s); a 4th window is cheap relative
+    // to the storm-tail risk on the round's headline MB/s.
+    val jsonlRuns = (1 to 4).map { _ =>
       val l = awaitQuiet(threshold = 4.0, maxWaitSec = 240)
       (jsonlPass(spark, "/dev/shm/graft-fixtures", nJsonlDocs), l)
     }
