@@ -1,0 +1,77 @@
+package graft
+
+/** Round-6 optimization-loop measurement harness (guide §1) -- NOT the
+  * driver bench: Bench.scala is frozen; this main exists so individual
+  * queries can be timed/isolated/explained without running the whole
+  * gated Bench. Subcommands:
+  *
+  *   queries [substr...]   min-of-N .count() per matching query (Bench
+  *                         methodology), N from SPARK_GRAFT_EXTRA_RUNS (2)
+  *   noop [substr...]      same but through the noop sink (computes every
+  *                         column; guide §1.4)
+  *   explain <dir> [s...]  write .explain("formatted") per matching query
+  *                         to <dir>/<name>.txt
+  *   pipeline [nImages]    one DedupPipeline pass (Bench.pipelinePass)
+  *   jsonl [nDocs]         one JSONL workflow pass (Bench.jsonlPass)
+  */
+object BenchExtra {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_EXTRA_RUNS", "2").toInt
+    val cmd = args.headOption.getOrElse("queries")
+    val rest = args.drop(1).toSeq
+    val spark = Bench.session(cpus)
+
+    def matching(filters: Seq[String]) =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => filters.isEmpty || filters.exists(n.contains) }
+
+    cmd match {
+      case "queries" | "noop" =>
+        // same warmup as Bench.main
+        spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+        SparkEntry.queries("q1_agg")(spark, sfDir).count()
+        val all = matching(rest)
+        var total = 0.0
+        all.foreach { case (name, fn) =>
+          spark.sparkContext.setJobDescription(name)
+          val secs = (1 to runs).map { _ =>
+            val t0 = System.nanoTime()
+            if (cmd == "noop")
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            else fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          total += secs.min
+          println(f"[extra] $name%-28s ${secs.min}%8.3f s  (runs: ${secs.map(s => f"$s%.2f").mkString(", ")}; load1=${Bench.load1()}%.1f)")
+        }
+        println(f"[extra] TOTAL(min) ${total}%.2f s over ${all.size} queries")
+      case "explain" =>
+        val dir = rest.head
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        matching(rest.drop(1)).foreach { case (name, fn) =>
+          val plan = fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(dir, s"$name.txt"), plan)
+          println(s"[extra] wrote $dir/$name.txt")
+        }
+      case "pipeline" =>
+        val n = rest.headOption.map(_.toInt).getOrElse(150000)
+        (1 to runs).foreach { i =>
+          val st = Bench.pipelinePass(spark, "/dev/shm/graft-fixtures/images_bench", n)
+          println(f"[extra] pipeline[$i] ${st.nImages} images in ${st.sec}%.2f s = ${st.imagesPerSec}%.0f img/s = ${st.mbPerSec}%.2f MB/s (load1=${Bench.load1()}%.1f)")
+        }
+      case "jsonl" =>
+        val n = rest.headOption.map(_.toInt).getOrElse(50000)
+        (1 to runs).foreach { i =>
+          val (b, sec, files) = Bench.jsonlPass(spark, "/dev/shm/graft-fixtures", n)
+          println(f"[extra] jsonl[$i] ${b / 1e6}%.1f MB, $files files in $sec%.2f s = ${b / 1e6 / sec}%.2f MB/s (load1=${Bench.load1()}%.1f)")
+        }
+      case other => sys.error(s"unknown subcommand $other")
+    }
+    spark.stop()
+  }
+}

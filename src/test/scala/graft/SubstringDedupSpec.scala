@@ -203,6 +203,33 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("suffix index: removeRanges on a NON-gidx-aligned index falls back and stays exact") {
+    // the fast query path rides the build's gidx-aligned layout; an index
+    // re-shuffled into arbitrary partitions (a storage re-read) must be
+    // detected by the layout validation and answered by the sorting
+    // fallback with identical results
+    val r = new scala.util.Random(7)
+    val base = (0 until 10).map { i =>
+      (i.toLong, (0 until (60 + r.nextInt(40))).map(_ => "abcd"(r.nextInt(4))).mkString)
+    }
+    val docs = base ++ base.take(3).map { case (k, t) => (k + 100L, t) }
+    val df = spark_(docs)
+    val index = operators.SuffixIndex.build(df,
+      operators.SuffixIndex.Config(maxDepth = 32, parts = 4))
+    val expected = SubstringDedup.removeRanges(df, SubstringDedup.Config(32))
+      .as[(Long, Long, Long)].collect().toSet
+    // aligned fresh build -> fast path
+    assert(operators.SuffixIndex.removeRanges(index, 32)
+      .as[(Long, Long, Long)].collect().toSet == expected)
+    // hash-reshuffled index -> layout check fails -> sorting fallback
+    val shuffled = index.repartition(5, col("k")).localCheckpoint(true)
+    assert(operators.SuffixIndex.removeRanges(shuffled, 32)
+      .as[(Long, Long, Long)].collect().toSet == expected)
+    // the fallback entry point itself, on the aligned index too
+    assert(operators.SuffixIndex.removeRangesSorted(index, 32)
+      .as[(Long, Long, Long)].collect().toSet == expected)
+  }
+
   test("suffix index: fixed-point early stop (maxDepth far above longest repeat) stays exact") {
     // longest repeated substring is ~6 bytes but maxDepth is 256: the
     // class partition stabilizes after ~3 doubling rounds and the build
