@@ -388,7 +388,13 @@ object JsonlDedupJob {
 
     val out = unit match {
       case "bytes" =>
-        val ranges = staged(SubstringDedup.removeRanges(keyed, SubstringDedup.Config(minLen)))
+        // verifyPrune: this reader decompresses the whole tree per scan,
+        // so restricting the verification joins to candidate docs (one
+        // pruned scan instead of two full ones) is the measured win here
+        // -- unlike the cheap vectorized parquet scans where the default
+        // stays off (see SubstringDedup.Config)
+        val ranges = staged(SubstringDedup.removeRanges(keyed,
+          SubstringDedup.Config(minLen, verifyPrune = true)))
         val annotated = SubstringDedup.annotateWith(keyed, ranges)
         mode match {
           case "annotate" => annotated
@@ -400,7 +406,8 @@ object JsonlDedupJob {
               .drop("sa_remove_ranges")
         }
       case "tokens" =>
-        val ranges0 = staged(SubstringDedup.removeRangesTokens(keyed, minLen, reversed = reversed))
+        val ranges0 = staged(SubstringDedup.removeRangesTokens(keyed, minLen,
+          reversed = reversed, verifyPrune = true))
         // reversed-stream offsets -> original orientation: [s,e) over the
         // mirrored stream covers original tokens [n-e, n-s)
         val ranges = if (!reversed) ranges0 else {
@@ -431,7 +438,8 @@ object JsonlDedupJob {
         // pre-tokenized corpora (the reference's production shape): the
         // record carries `tokens: array<int>`; minLen counts ids, ranges
         // are id offsets, remove mode drops the duplicated id spans
-        val ranges0 = staged(SubstringDedup.removeRangesIds(keyed, minLen, reversed = reversed))
+        val ranges0 = staged(SubstringDedup.removeRangesIds(keyed, minLen,
+          reversed = reversed, verifyPrune = true))
         val ranges = if (!reversed) ranges0 else {
           val nTok = keyed.select(col("k"), size(col("tokens")).cast("long").as("_n"))
           ranges0.join(nTok, "k")

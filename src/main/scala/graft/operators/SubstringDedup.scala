@@ -46,10 +46,23 @@ import graft.functions.{PolyHash, Utf8}
   */
 object SubstringDedup {
 
+  /** `verifyPrune`: semi-join-prune the corpus side of the verification
+    * joins down to the candidate doc keys (and pin both so the corpus is
+    * scanned once instead of twice). Pays when one corpus scan is
+    * expensive relative to a handful of extra scheduled jobs -- e.g. the
+    * JSONL workflow, whose scan decompresses every shard (JsonlDedupJob
+    * passes true); costs more than it saves on cheap vectorized parquet
+    * scans at fixture scale. Measured round 6 (sf0.1 / 330 MB jsonl,
+    * local[32]): prune ON made the parquet-backed a1 query 1.8 -> 2.5 s
+    * (the extra pin/broadcast jobs dominate) while the gzip jsonl
+    * workflow pass went 26.7 -> 23.0 s best-of-2 (one pruned corpus scan
+    * instead of two full decompressions). Hence default off, JSONL on.
+    */
   case class Config(
       minLen: Int,
       verifyBytes: Boolean = true,
-      saltBuckets: Int = 64)
+      saltBuckets: Int = 64,
+      verifyPrune: Boolean = false)
 
   /** One row per in-doc window position: (h1, h2, k, pos).
     * pos is a 0-based byte offset; docs shorter than minLen emit nothing
@@ -89,11 +102,33 @@ object SubstringDedup {
     * a distinct-position pre-extraction table was tried and was WORSE at
     * small minLen -- it adds a union+distinct and two extra joins over
     * millions of rows.)
+    *
+    * With `prune` (Config.verifyPrune), the corpus side is PRUNED before
+    * either join: duplicate positions cluster in few docs, so a
+    * broadcast semi-join of `docs` against the candidates' doc keys
+    * (k union keep_k, deduplicated) drops the non-duplicate majority of
+    * the corpus before any bytes are shuffled or digested -- the
+    * verification joins touch O(dup docs), not O(corpus) -- and the
+    * pruned frame is pinned once so the corpus is scanned ONCE here
+    * instead of twice. The caller must then pin `candidates` (it feeds
+    * the key set and the join probe). At 1e9+ dup-doc scale the
+    * broadcast key set would be replaced by a Bloom filter (guide §3.2
+    * shape); doc-key cardinality at the measured densities stays far
+    * under the broadcast cap.
     */
-  private def verifyCandidates(docs: DataFrame, candidates: DataFrame, minLen: Int): DataFrame = {
-    val bytesDf = docs.select(
+  private def verifyCandidates(docs: DataFrame, candidates: DataFrame,
+                               minLen: Int, prune: Boolean): DataFrame = {
+    val bytesDf0 = docs.select(
       col("k").cast("long").as("vk"),
       encode(col("text"), "UTF-8").as("vb"))
+    val bytesDf = if (!prune) bytesDf0 else {
+      val keys = candidates.select(col("k").as("ck"))
+        .unionAll(candidates.select(col("keep_k").as("ck")))
+        .distinct()
+      bytesDf0
+        .join(broadcast(keys), col("vk") === col("ck"), "leftsemi")
+        .localCheckpoint(true)
+    }
     candidates
       .join(bytesDf, col("k") === col("vk"))
       .withColumn("wd_self",
@@ -154,7 +189,7 @@ object SubstringDedup {
     win.unpersist(false)
 
     if (!cfg.verifyBytes) pinned.select("k", "pos")
-    else verifyCandidates(docs, pinned, cfg.minLen)
+    else verifyCandidates(docs, pinned, cfg.minLen, cfg.verifyPrune)
   }
 
   /** A2 transcription: sort-based removable positions. Range-partition by
@@ -253,7 +288,10 @@ object SubstringDedup {
   def removeRangesHybrid(docs: DataFrame, cfg: Config): DataFrame = {
     val cand = hybridCandidates(docs, cfg.minLen, None)
     val removable =
-      if (cfg.verifyBytes) verifyCandidates(docs, cand, cfg.minLen)
+      if (cfg.verifyBytes)
+        verifyCandidates(docs,
+          if (cfg.verifyPrune) cand.localCheckpoint(true) else cand,
+          cfg.minLen, cfg.verifyPrune)
       else cand.select("k", "pos")
     coalesceRanges(removable, cfg.minLen)
   }
@@ -287,7 +325,8 @@ object SubstringDedup {
       val pinned = cand.localCheckpoint(true)
       counts.unpersist(false)
       val removable =
-        if (cfg.verifyBytes) verifyCandidates(docs, pinned, cfg.minLen)
+        if (cfg.verifyBytes)
+          verifyCandidates(docs, pinned, cfg.minLen, cfg.verifyPrune)
         else pinned.select("k", "pos")
       coalesceRanges(removable, cfg.minLen)
     }
@@ -329,9 +368,16 @@ object SubstringDedup {
     */
   def removeRanges(docs: DataFrame, cfg: Config): DataFrame = {
     val removable =
-      if (cfg.verifyBytes)
-        verifyCandidates(docs, sortScanCandidates(docs, cfg.minLen), cfg.minLen)
-      else removablePositionsSortScan(docs, cfg.minLen)
+      if (cfg.verifyBytes) {
+        // with verifyPrune, pin the (small: duplicate positions only)
+        // candidate set: it feeds the doc-key prune AND the digest joins
+        // in verifyCandidates, and recomputing it would re-run the full
+        // window sort per consumer; without the prune the chain is
+        // linear and stays fully lazy
+        val cand0 = sortScanCandidates(docs, cfg.minLen)
+        val cand = if (cfg.verifyPrune) cand0.localCheckpoint(true) else cand0
+        verifyCandidates(docs, cand, cfg.minLen, cfg.verifyPrune)
+      } else removablePositionsSortScan(docs, cfg.minLen)
     coalesceRanges(removable, cfg.minLen)
   }
 
@@ -428,12 +474,24 @@ object SubstringDedup {
     * renderer (find_dup_docs.cpp:18-68); this is that payload in flat
     * form (one row per span), feeding graft.Render for the B10 overlay.
     */
-  def dupDocSlices(docs: DataFrame, cfg: Config): DataFrame =
-    dupPtrs(docs, cfg)
-      .join(docs.select(col("k").cast("long"),
-        encode(col("text"), "UTF-8").as("vb")), Seq("k"))
+  def dupDocSlices(docs: DataFrame, cfg: Config): DataFrame = {
+    // with verifyPrune: pin the (small) pointer table -- it feeds the
+    // doc-key prune and the snippet join -- and semi-join-prune the
+    // corpus bytes to dup docs before any text is shuffled (same shape
+    // and trade-off as verifyCandidates)
+    val ptrs0 = dupPtrs(docs, cfg)
+    val ptrs = if (cfg.verifyPrune) ptrs0.localCheckpoint(true) else ptrs0
+    val bytesDf0 = docs.select(col("k").cast("long"),
+      encode(col("text"), "UTF-8").as("vb"))
+    val bytesDf = if (!cfg.verifyPrune) bytesDf0 else {
+      val keys = ptrs.select(col("k").as("ck")).distinct()
+      bytesDf0.join(broadcast(keys), col("k") === col("ck"), "leftsemi")
+    }
+    ptrs
+      .join(bytesDf, Seq("k"))
       .select(col("k"), col("pos"), col("dropped"),
         decode(expr(s"substring(vb, pos + 1, ${cfg.minLen})"), "UTF-8").as("snippet"))
+  }
 
   // ---- token-unit mode (reference C2) ----
 
@@ -493,11 +551,22 @@ object SubstringDedup {
     * a 61-bit token-id collision can never remove a non-duplicate window.
     */
   private def verifyTokenCandidates(docs: DataFrame, candidates: DataFrame,
-                                    minLenTok: Int, reversed: Boolean): DataFrame = {
+                                    minLenTok: Int, reversed: Boolean,
+                                    prune: Boolean): DataFrame = {
     val toks0 = filter(split(col("text"), " "), x => x =!= "")
-    val toksDf = docs.select(
+    val toksDf0 = docs.select(
       col("k").cast("long").as("vk"),
       (if (reversed) reverse(toks0) else toks0).as("vt"))
+    // optional doc-key prune + single-scan pin, same shape and rationale
+    // as verifyCandidates (the byte path); with prune the caller must
+    // pin `candidates`
+    val toksDf = if (!prune) toksDf0 else {
+      val keys = candidates.select(col("k").as("ck"))
+        .unionAll(candidates.select(col("keep_k").as("ck")))
+        .distinct()
+      toksDf0.join(broadcast(keys), col("vk") === col("ck"), "leftsemi")
+        .localCheckpoint(true)
+    }
     def digest(posCol: Column): Column =
       sha2(encode(concat_ws("\u0000", slice(col("vt"), posCol + 1, lit(minLenTok))), "UTF-8"), 256)
     candidates
@@ -517,11 +586,14 @@ object SubstringDedup {
     * token-exact by default.
     */
   def removeRangesTokens(docs: DataFrame, minLenTok: Int,
-                         verify: Boolean = true, reversed: Boolean = false): DataFrame = {
-    val cand = runScan(tokenWindows(docs, minLenTok, reversed))
+                         verify: Boolean = true, reversed: Boolean = false,
+                         verifyPrune: Boolean = false): DataFrame = {
     val removable =
-      if (verify) verifyTokenCandidates(docs, cand, minLenTok, reversed)
-      else cand.select("k", "pos")
+      if (verify) {
+        val cand0 = runScan(tokenWindows(docs, minLenTok, reversed))
+        val cand = if (verifyPrune) cand0.localCheckpoint(true) else cand0
+        verifyTokenCandidates(docs, cand, minLenTok, reversed, verifyPrune)
+      } else runScan(tokenWindows(docs, minLenTok, reversed)).select("k", "pos")
     coalesceRanges(removable, minLenTok)
   }
 
@@ -561,11 +633,22 @@ object SubstringDedup {
     * remove a window whose id sequence differs.
     */
   private def verifyIdCandidates(docs: DataFrame, candidates: DataFrame,
-                                 minLenTok: Int, reversed: Boolean): DataFrame = {
+                                 minLenTok: Int, reversed: Boolean,
+                                 prune: Boolean): DataFrame = {
     val ids0 = col("tokens").cast("array<long>")
-    val toksDf = docs.select(
+    val toksDf0 = docs.select(
       col("k").cast("long").as("vk"),
       (if (reversed) reverse(ids0) else ids0).as("vt"))
+    // optional doc-key prune + single-scan pin, same shape and rationale
+    // as verifyCandidates (the byte path); with prune the caller must
+    // pin `candidates`
+    val toksDf = if (!prune) toksDf0 else {
+      val keys = candidates.select(col("k").as("ck"))
+        .unionAll(candidates.select(col("keep_k").as("ck")))
+        .distinct()
+      toksDf0.join(broadcast(keys), col("vk") === col("ck"), "leftsemi")
+        .localCheckpoint(true)
+    }
     def digest(posCol: Column): Column =
       sha2(encode(concat_ws(",",
         transform(slice(col("vt"), posCol + 1, lit(minLenTok)), _.cast("string"))),
@@ -588,11 +671,14 @@ object SubstringDedup {
     * verification is id-exact by default.
     */
   def removeRangesIds(docs: DataFrame, minLenTok: Int,
-                      verify: Boolean = true, reversed: Boolean = false): DataFrame = {
-    val cand = runScan(idWindows(docs, minLenTok, reversed))
+                      verify: Boolean = true, reversed: Boolean = false,
+                      verifyPrune: Boolean = false): DataFrame = {
     val removable =
-      if (verify) verifyIdCandidates(docs, cand, minLenTok, reversed)
-      else cand.select("k", "pos")
+      if (verify) {
+        val cand0 = runScan(idWindows(docs, minLenTok, reversed))
+        val cand = if (verifyPrune) cand0.localCheckpoint(true) else cand0
+        verifyIdCandidates(docs, cand, minLenTok, reversed, verifyPrune)
+      } else runScan(idWindows(docs, minLenTok, reversed)).select("k", "pos")
     coalesceRanges(removable, minLenTok)
   }
 
@@ -620,11 +706,21 @@ object SubstringDedup {
     } else {
       // group on the sha2-256 digest of the actual window (byte-equality
       // standard); digests are 32 B regardless of minLen, so the window
-      // shuffle stays flat when minLen is large
-      val bytesDf = docs.select(
+      // shuffle stays flat when minLen is large. With verifyPrune the
+      // hash-dup pointer set is pinned (it feeds the doc-key prune and
+      // the digest join) and the corpus bytes are semi-join-pruned to
+      // dup docs before the join -- same shape as verifyCandidates.
+      val pinned =
+        if (cfg.verifyPrune) hashDups.select("k", "pos").localCheckpoint(true)
+        else hashDups.select("k", "pos")
+      val bytesDf0 = docs.select(
         col("k").cast("long").as("vk"),
         encode(col("text"), "UTF-8").as("vb"))
-      val withDigest = hashDups
+      val bytesDf = if (!cfg.verifyPrune) bytesDf0 else {
+        val keys = pinned.select(col("k").as("ck")).distinct()
+        bytesDf0.join(broadcast(keys), col("vk") === col("ck"), "leftsemi")
+      }
+      val withDigest = pinned
         .join(bytesDf, col("k") === col("vk"))
         .select(col("k"), col("pos"),
           sha2(expr(s"substring(vb, pos + 1, ${cfg.minLen})"), 256).as("w"))
