@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Round-6 optimization-loop measurement harness (guide §1) -- NOT the
   * driver bench: Bench.scala is frozen; this main exists so individual
   * queries can be timed/isolated/explained without running the whole
@@ -63,6 +65,64 @@ object BenchExtra {
         (1 to runs).foreach { i =>
           val st = Bench.pipelinePass(spark, "/dev/shm/graft-fixtures/images_bench", n)
           println(f"[extra] pipeline[$i] ${st.nImages} images in ${st.sec}%.2f s = ${st.imagesPerSec}%.0f img/s = ${st.mbPerSec}%.2f MB/s (load1=${Bench.load1()}%.1f)")
+        }
+      case "pipejobs" =>
+        // job-level trace of DedupPipeline.run's eager part (the id map)
+        val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(js.jobId, (System.nanoTime(),
+              Option(js.properties.getProperty("spark.job.description")).getOrElse("")))
+          override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val (t0, d) = starts.get(je.jobId)
+            println(f"[extra] job ${je.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.3f s  $d")
+          }
+        })
+        val n = rest.headOption.map(_.toInt).getOrElse(150000)
+        val images = graft.sources.ImagesGen.writeFixture(
+          spark, s"/dev/shm/graft-fixtures/images_bench-$n-p40", n, period = 40)
+        val res0 = DedupPipeline.run(spark, images, DedupPipeline.Config())
+        val caps = res0.keyed.select(col("k"), col("caption").as("text"))
+          .localCheckpoint(true)
+        (1 to runs).foreach { i =>
+          spark.sparkContext.setJobDescription(s"substr_noverify$i")
+          var t0 = System.nanoTime()
+          val n1 = operators.SubstringDedup.removeRanges(
+            caps, operators.SubstringDedup.Config(32, verifyBytes = false)).count()
+          println(f"[extra] substr_noverify[$i] ${(System.nanoTime() - t0) / 1e9}%7.2f s rows=$n1")
+          spark.sparkContext.setJobDescription(s"substr_verify$i")
+          t0 = System.nanoTime()
+          val n2 = operators.SubstringDedup.removeRanges(
+            caps, operators.SubstringDedup.Config(32)).count()
+          println(f"[extra] substr_verify[$i] ${(System.nanoTime() - t0) / 1e9}%7.2f s rows=$n2")
+        }
+      case "pipestages" =>
+        // per-stage breakdown of DedupPipeline (each branch counted
+        // separately; the id-map pin happens inside run())
+        val n = rest.headOption.map(_.toInt).getOrElse(150000)
+        val images = graft.sources.ImagesGen.writeFixture(
+          spark, s"/dev/shm/graft-fixtures/images_bench-$n-p40", n, period = 40)
+        def time(what: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val rows = f
+          println(f"[extra] $what%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows (load1=${Bench.load1()}%.1f)")
+        }
+        (1 to runs).foreach { i =>
+          println(s"[extra] ---- pass $i ----")
+          val t0 = System.nanoTime()
+          val res = DedupPipeline.run(spark, images, DedupPipeline.Config())
+          println(f"[extra] run() (id map)   ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+          time("exact_edges")(res.exactEdges.count())
+          val caps = res.keyed.select(col("k"), col("caption").as("text"))
+          time("substr_ranges")(operators.SubstringDedup.removeRanges(
+            caps, operators.SubstringDedup.Config(32)).count())
+          time("substr_noverify")(operators.SubstringDedup.removeRanges(
+            caps, operators.SubstringDedup.Config(32, verifyBytes = false)).count())
+          time("annotated")(res.annotated.agg(count(lit(1)),
+            sum(size(col("sa_remove_ranges")))).collect()(0).getLong(0))
+          time("near_edges")(res.nearEdges.count())
+          time("phash_edges")(res.phashEdges.count())
+          time("clusters")(res.clusters.count())
         }
       case "jsonl" =>
         val n = rest.headOption.map(_.toInt).getOrElse(50000)

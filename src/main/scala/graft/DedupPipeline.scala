@@ -97,17 +97,23 @@ object DedupPipeline {
         .withColumnRenamed("text", "caption")
     }
 
-    // 4. caption near-dups: LSH candidates + exact-Jaccard verification
+    // 4. caption near-dups: LSH candidates + exact-Jaccard verification.
+    // pruneVerify: candidates cover a small fraction of the corpus, so
+    // the exact-Jaccard shingle pass runs once over candidate docs only
+    // instead of twice over every caption (MinHashLSH.verifiedPairs).
     val nearEdges = checkpointed("near_edges") {
       MinHashLSH.verifiedPairs(
         keyed.select(col("k"), col("caption").as("text")),
-        cfg.minhash, cfg.jaccThreshold)
+        cfg.minhash, cfg.jaccThreshold, pruneVerify = true)
     }
 
-    // 5. image-level near-dups on perceptual hash bits
+    // 5. image-level near-dups on perceptual hash bits. The corpus row
+    // count is already known from the pinned id map (one cheap count of
+    // the narrow checkpoint), so Hamming.pairs skips its own counting
+    // probe pass when steering the flat-vs-two-level plan choice.
     val phashEdges = checkpointed("phash_edges") {
       Hamming.pairs(keyed.select(col("k").as("id"), col("phash").as("bits")),
-        cfg.hammingRadius)
+        cfg.hammingRadius, nHint = idMap.count())
     }
 
     // 6. union -> connected components -> clusters keyed back to image_id

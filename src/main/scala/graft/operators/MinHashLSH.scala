@@ -159,8 +159,32 @@ object MinHashLSH {
     * Output (a, b, jacc) -- the LSH-accelerated version of
     * NgramJaccard.pairs: same result set minus LSH false negatives
     * (recall is tuned by bands/rows; tests assert >= 0.99 on fixtures).
+    *
+    * `pruneVerify`: by default the shingle-set table feeds BOTH sides of
+    * the verification join, so the per-doc shingle pass runs twice over
+    * the whole corpus. With the prune, the candidate pairs are pinned
+    * (small), the shingle pass runs ONCE over only the docs that appear
+    * in a candidate pair (broadcast semi-join), and the pinned pruned
+    * sets feed both join sides. Same trade-off as
+    * SubstringDedup.Config.verifyPrune: pays when candidates cover a
+    * small fraction of a large corpus (DedupPipeline passes true), costs
+    * a few extra scheduled jobs at small fixture scale (default off so
+    * the d7 oracle query keeps its lazy single-job shape).
     */
-  def verifiedPairs(docs: DataFrame, cfg: Config, threshold: Double): DataFrame =
-    NgramJaccard.verifyWithSets(
-      candidatePairs(docs, cfg), shingleSets(docs, cfg), threshold)
+  def verifiedPairs(docs: DataFrame, cfg: Config, threshold: Double,
+                    pruneVerify: Boolean = false): DataFrame = {
+    if (!pruneVerify)
+      NgramJaccard.verifyWithSets(
+        candidatePairs(docs, cfg), shingleSets(docs, cfg), threshold)
+    else {
+      val cand = candidatePairs(docs, cfg).localCheckpoint(true)
+      val keys = cand.select(col("a").as("ck"))
+        .unionAll(cand.select(col("b").as("ck")))
+        .distinct()
+      val sets = shingleSets(
+        docs.join(broadcast(keys), col("k") === col("ck"), "leftsemi"), cfg)
+        .localCheckpoint(true)
+      NgramJaccard.verifyWithSets(cand, sets, threshold)
+    }
+  }
 }

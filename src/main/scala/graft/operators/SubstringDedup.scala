@@ -129,14 +129,19 @@ object SubstringDedup {
         .join(broadcast(keys), col("vk") === col("ck"), "leftsemi")
         .localCheckpoint(true)
     }
+    // the same exactness either way: for minLen <= 32 the raw window
+    // slice is no wider than its sha2-256 digest, so the digest step is
+    // pure CPU overhead -- compare the bytes themselves; above 32 the
+    // digest keeps the shuffled row at a flat 32 B regardless of minLen
+    def wd(posEx: String): Column =
+      if (minLen <= 32) expr(s"substring(vb, $posEx + 1, $minLen)")
+      else sha2(expr(s"substring(vb, $posEx + 1, $minLen)"), 256)
     candidates
       .join(bytesDf, col("k") === col("vk"))
-      .withColumn("wd_self",
-        sha2(expr(s"substring(vb, pos + 1, $minLen)"), 256))
+      .withColumn("wd_self", wd("pos"))
       .drop("vk", "vb")
       .join(bytesDf, col("keep_k") === col("vk"))
-      .withColumn("wd_keep",
-        sha2(expr(s"substring(vb, keep_pos + 1, $minLen)"), 256))
+      .withColumn("wd_keep", wd("keep_pos"))
       .where(col("wd_self") === col("wd_keep"))
       .select("k", "pos")
   }
@@ -720,10 +725,14 @@ object SubstringDedup {
         val keys = pinned.select(col("k").as("ck")).distinct()
         bytesDf0.join(broadcast(keys), col("vk") === col("ck"), "leftsemi")
       }
+      // minLen <= 32: group on the raw slice (it is no wider than the
+      // digest); above, the digest keeps the regroup shuffle flat
+      val wCol =
+        if (cfg.minLen <= 32) expr(s"substring(vb, pos + 1, ${cfg.minLen})")
+        else sha2(expr(s"substring(vb, pos + 1, ${cfg.minLen})"), 256)
       val withDigest = pinned
         .join(bytesDf, col("k") === col("vk"))
-        .select(col("k"), col("pos"),
-          sha2(expr(s"substring(vb, pos + 1, ${cfg.minLen})"), 256).as("w"))
+        .select(col("k"), col("pos"), wCol.as("w"))
       val byW = Window.partitionBy("w").orderBy("k", "pos")
       withDigest
         .withColumn("rn", row_number().over(byW))
