@@ -66,6 +66,29 @@ object BenchExtra {
           val st = Bench.pipelinePass(spark, "/dev/shm/graft-fixtures/images_bench", n)
           println(f"[extra] pipeline[$i] ${st.nImages} images in ${st.sec}%.2f s = ${st.imagesPerSec}%.0f img/s = ${st.mbPerSec}%.2f MB/s (load1=${Bench.load1()}%.1f)")
         }
+      case "queryjobs" =>
+        // job-level trace of one named query's execution (guide §1: find
+        // which scheduled job inside a multi-job operator eats the time)
+        val starts2 = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts2.put(js.jobId, (System.nanoTime(),
+              Option(js.properties.getProperty("spark.job.description")).getOrElse("")))
+          override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val (t0, d) = starts2.get(je.jobId)
+            println(f"[extra] job ${je.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.3f s  ${d.take(60)}")
+          }
+        })
+        spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+        SparkEntry.queries("q1_agg")(spark, sfDir).count()
+        matching(rest).foreach { case (name, fn) =>
+          (1 to runs).foreach { i =>
+            println(s"[extra] ---- $name run $i ----")
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            println(f"[extra] $name TOTAL ${(System.nanoTime() - t0) / 1e9}%7.2f s (load1=${Bench.load1()}%.1f)")
+          }
+        }
       case "pipejobs" =>
         // job-level trace of DedupPipeline.run's eager part (the id map)
         val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()

@@ -364,7 +364,8 @@ object JsonlDedupJob {
           minLen: Int, mode: String = "annotate",
           compression: String = "gzip",
           stageDir: Option[String] = None,
-          unit: String = "bytes", reversed: Boolean = false): Result = {
+          unit: String = "bytes", reversed: Boolean = false,
+          pinParsed: Boolean = true): Result = {
     require(mode == "annotate" || mode == "remove", s"unknown mode $mode")
     require(unit == "bytes" || unit == "tokens" || unit == "ids",
       s"unknown unit $unit")
@@ -372,9 +373,25 @@ object JsonlDedupJob {
     // strip the input's compression extension: the sink appends the one
     // matching the CHOSEN output compression, so the tree mirrors exactly
     // when in/out codecs agree and stays honest when they differ
-    val keyed = readTree(spark, inDir,
+    val keyed0 = readTree(spark, inDir,
       requiredField = if (unit == "ids") "tokens" else "text")
       .withColumn("path", regexp_replace(col("path"), "\\.(gz|zst)$", ""))
+    // pin the PARSED corpus once (round 6, guide §5 caching): the
+    // workflow consumes it three times -- window generation, candidate
+    // verification, and the annotate/writeback join -- and every consumer
+    // otherwise re-decompresses and re-JSON-parses the whole tree (gzip
+    // inflate + from_json are the scan's dominant CPU). One eager
+    // materialization (memory, spilling to local disk) replaces two full
+    // decompress+parse passes; this is the same "materialize the parsed
+    // intermediate" step the reference workflow performs when it writes
+    // its binary doc/offset sidecars before indexing
+    // (indexing_v6_sharded.py doc_bytes/offsets files; measured A/B in
+    // OPTIMIZATION_r06.md). At 100 TB the same pin is a disk-backed
+    // snapshot across the
+    // cluster's local volumes -- linear in corpus size, like the
+    // reference's sidecars; callers that cannot afford it pass
+    // pinParsed=false and pay the extra scans instead.
+    val keyed = if (pinParsed) keyed0.localCheckpoint(true) else keyed0
 
     // stage name carries the unit/orientation: the (k,s,e) schema is
     // identical across bytes/tokens/reversed runs, so a resume pointed at

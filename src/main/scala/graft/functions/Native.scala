@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, TernaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -86,6 +87,103 @@ object NativeKernels {
     }
     UnsafeArrayData.fromPrimitiveArray(out.keysIterator.toArray)
   }
+}
+
+/** Window-frame generator: one output row (h1, h2, pos) per in-doc
+  * window position, computed by the same rolling-hash kernels as
+  * `PolyHash.windowHashes2` / `windowHashesLongs2`. Replaces the typed
+  * `Dataset.mapPartitions` window generation (round-6 guide §1.2 "per-task
+  * work"): the typed path allocates a `Tuple4` plus four boxed Longs per
+  * position (1e8+ positions per corpus pass) across a
+  * DeserializeToObject/SerializeFromObject boundary; this Generator
+  * evaluates inside `GenerateExec` against a single reused
+  * `SpecificInternalRow` (primitive setters, zero per-row allocation) and
+  * keeps the scan -> generate -> exchange pipeline in one visible plan.
+  *
+  * Input modes, keyed by child type (mirroring the three window paths):
+  *  - binary: byte windows (SubstringDedup.windows)
+  *  - array<string>: whitespace tokens, each token 61-bit-hashed to a
+  *    digit (SubstringDedup.tokenWindows; `reversed` mirrors the stream)
+  *  - array<long>: pre-tokenized ids as digits
+  *    (SubstringDedup.idWindows; `reversed` mirrors the stream)
+  * Null input (null text / null token array) generates nothing, matching
+  * the typed paths' null handling.
+  */
+case class GraftWindowGen(child: Expression, winLen: Int, reversed: Boolean)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(winLen >= 1, s"winLen $winLen must be >= 1")
+  override def elementSchema: StructType = new StructType()
+    .add("h1", LongType, nullable = false)
+    .add("h2", LongType, nullable = false)
+    .add("pos", LongType, nullable = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType if reversed =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "reversed applies to token/id streams, not bytes")
+      case BinaryType | ArrayType(StringType, _) | ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_window_gen takes binary, array<string> or array<long>, got $t")
+    }
+  override def prettyName: String = "graft_window_gen"
+
+  @transient private lazy val mode: Int = child.dataType match {
+    case BinaryType => 0
+    case ArrayType(StringType, _) => 1
+    case ArrayType(LongType, _) => 2
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val (o1, o2) = mode match {
+      case 0 =>
+        PolyHash.windowHashes2(v.asInstanceOf[Array[Byte]], winLen)
+      case 1 =>
+        val a = v.asInstanceOf[ArrayData]
+        val n = a.numElements()
+        val digits = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          val b = a.getUTF8String(if (reversed) n - 1 - i else i).getBytes
+          digits(i) = PolyHash.hash(b, 0, b.length, PolyHash.B1)
+          i += 1
+        }
+        PolyHash.windowHashesLongs2(digits, winLen)
+      case 2 =>
+        val a = v.asInstanceOf[ArrayData]
+        val n = a.numElements()
+        val digits = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          digits(i) = a.getLong(if (reversed) n - 1 - i else i)
+          i += 1
+        }
+        PolyHash.windowHashesLongs2(digits, winLen)
+    }
+    if (o1.isEmpty) Iterator.empty
+    else {
+      // one reused mutable row: GenerateExec consumes each yielded row
+      // (unsafe-projects it into the output) before requesting the next,
+      // the same reuse contract Spark's own generators rely on
+      val row = new org.apache.spark.sql.catalyst.expressions.SpecificInternalRow(
+        Seq(LongType, LongType, LongType))
+      new Iterator[InternalRow] {
+        private var i = 0
+        def hasNext: Boolean = i < o1.length
+        def next(): InternalRow = {
+          row.setLong(0, o1(i)); row.setLong(1, o2(i)); row.setLong(2, i.toLong)
+          i += 1
+          row
+        }
+      }
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** `graft_lcp(a, b)`: common prefix length of two binary values. */
@@ -206,6 +304,13 @@ object GraftFunctions {
     column(GraftWinnow(expr(b),
       org.apache.spark.sql.catalyst.expressions.Literal(n),
       org.apache.spark.sql.catalyst.expressions.Literal(w)))
+
+  /** Window-frame generator column (use with multi-alias in a select:
+    * one (h1, h2, pos) row per window position of a binary / token-array /
+    * id-array column).
+    */
+  def windowGen(in: Column, winLen: Int, reversed: Boolean = false): Column =
+    column(GraftWindowGen(expr(in), winLen, reversed))
 
   // ---- SQL registration (FunctionRegistry descriptions) ----
 

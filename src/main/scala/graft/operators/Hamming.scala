@@ -129,19 +129,32 @@ object Hamming {
     val cutoff = 512L * (1L << minW) / (r + 1)
     // caller-supplied row count skips both probe jobs (and the pin below)
     if (nHint > cutoff) return pairsTwoLevel(df, r)
-    // pin the narrow (id, bits) projection ONCE: without it the count,
-    // the worst-bucket probe and the steered join each re-evaluate the
-    // upstream plan -- up to 3x for an expensive input (e.g. freshly
-    // decoded phashes)
+    // pin the narrow (id, bits) projection ONCE: without it the probe
+    // and the steered join each re-evaluate the upstream plan -- 2x for
+    // an expensive input (e.g. freshly decoded phashes)
     val base = df.select(col("id"), col("bits")).localCheckpoint(true)
-    val n = if (nHint >= 0L) nHint else base.count()
+    // ONE probe job yields both steering signals (round 6: previously a
+    // count() job plus a separate worst-bucket aggregation): the bucket
+    // histogram's sum of counts is (r+1) * n and its max is the worst
+    // flat bucket -- same dispatch decisions from half the probe passes
+    val (n, maxBucket) =
+      if (nHint >= 0L) (nHint, -1L)
+      else {
+        val row = blockTable(base, r + 1)
+          .groupBy("block", "block_bits").agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(col("c")), lit(0L)), coalesce(max(col("c")), lit(0L)))
+          .collect()(0)
+        (row.getLong(0) / (r + 1), row.getLong(1))
+      }
     if (n > cutoff) pairsTwoLevel(base, r)
-    else {
-      val maxBucket = blockTable(base, r + 1)
+    else if (maxBucket < 0L) {
+      // nHint given and small: pay the worst-bucket probe only
+      val mb = blockTable(base, r + 1)
         .groupBy("block", "block_bits").agg(count(lit(1)).as("c"))
         .agg(coalesce(max(col("c")), lit(0L))).collect()(0).getLong(0)
-      if (maxBucket <= 4096) pairsFlat(base, r) else pairsTwoLevel(base, r)
-    }
+      if (mb <= 4096) pairsFlat(base, r) else pairsTwoLevel(base, r)
+    } else if (maxBucket <= 4096) pairsFlat(base, r)
+    else pairsTwoLevel(base, r)
   }
 
   /** Flat r+1-block scheme (see scaladoc); exact, narrow-block. */

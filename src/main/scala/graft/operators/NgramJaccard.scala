@@ -84,7 +84,11 @@ object NgramJaccard {
   /** Prefix-filtered exact Jaccard join over any (k, sh) shingle table.
     * Output: (a, b, jacc).
     */
-  def pairsFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
+  def pairsFromShingles(sh0: DataFrame, threshold: Double): DataFrame = {
+    // pin the shingle table once: it feeds the document-frequency agg,
+    // the prefix join and the verification sets -- three consumers that
+    // would each re-run the shingling scan (round 6, guide §5)
+    val sh = sh0.localCheckpoint(true)
     val sizes = sh.groupBy("k").agg(count(lit(1)).as("sz"))
     val prefix = prefixTable(sh, threshold)
 

@@ -68,25 +68,17 @@ object SubstringDedup {
     * pos is a 0-based byte offset; docs shorter than minLen emit nothing
     * (reference bounds predicate h:232-233).
     */
-  def windows(docs: DataFrame, minLen: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  def windows(docs: DataFrame, minLen: Int): DataFrame =
+    // native Generator (functions/Native.scala GraftWindowGen): zero
+    // per-position allocation and no typed serialization boundary --
+    // null text (e.g. an image row with no caption) = no windows, same
+    // as a doc shorter than minLen (Generate outer=false drops the row)
     docs
-      .select(col("k").cast("long"), encode(col("text"), "UTF-8").as("bytes"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.flatMap { case (k, bytes) =>
-          // null text (e.g. an image row with no caption) = no windows,
-          // same as a doc shorter than minLen
-          if (bytes == null) Iterator.empty
-          else {
-            val (h1, h2) = PolyHash.windowHashes2(bytes, minLen)
-            Iterator.range(0, h1.length).map(i => (h1(i), h2(i), k, i.toLong))
-          }
-        }
-      }
-      .toDF("h1", "h2", "k", "pos")
-  }
+      .select(col("k").cast("long").as("k"), encode(col("text"), "UTF-8").as("b"))
+      .select(col("k"),
+        graft.functions.GraftFunctions.windowGen(col("b"), minLen)
+          .as(Seq("h1", "h2", "pos")))
+      .select("h1", "h2", "k", "pos")
 
   /** Byte-verify candidate pairs: re-extract the actual window bytes for
     * both sides of each (k,pos) -> (keep_k,keep_pos) candidate and demand
@@ -227,10 +219,18 @@ object SubstringDedup {
     * i.e. a second full window-generation pass. Hash keys are uniform by
     * construction, so hash partitioning is also perfectly balanced.
     */
-  private def runScan(win: DataFrame): DataFrame =
-    adjacentRunScan(
-      win.repartition(col("h1"), col("h2"))
-        .sortWithinPartitions("h1", "h2", "k", "pos"))
+  private def runScan(win: DataFrame): DataFrame = {
+    val sorted = win.repartition(col("h1"), col("h2"))
+      .sortWithinPartitions("h1", "h2", "k", "pos")
+    if (sys.env.get("GRAFT_RUNSCAN").contains("window")) {
+      val w = Window.partitionBy("h1", "h2").orderBy("k", "pos")
+      sorted
+        .withColumn("keep_k", first(col("k")).over(w))
+        .withColumn("keep_pos", first(col("pos")).over(w))
+        .where(col("k") =!= col("keep_k") || col("pos") =!= col("keep_pos"))
+        .select("k", "pos", "keep_k", "keep_pos")
+    } else adjacentRunScan(sorted)
+  }
 
   /** The run scan itself: input must be partitioned so equal (h1,h2) rows
     * co-locate and be sorted by (h1,h2,k,pos) within partitions.
@@ -500,13 +500,6 @@ object SubstringDedup {
 
   // ---- token-unit mode (reference C2) ----
 
-  /** Whitespace tokenization shared by the token-mode window generator and
-    * its verifier; matches `list_filter(string_split(text, ' '), ...)` so
-    * the DuckDB oracle sees the identical token stream.
-    */
-  private def tokensOf(text: String): Array[String] =
-    text.split(' ').filter(_.nonEmpty)
-
   /** One row per in-doc TOKEN window position: (h1, h2, k, pos), pos a
     * 0-based token offset. The reference templates its whole engine over
     * the unit type (u8 bytes / u16 gpt2 / u32 llama token streams,
@@ -523,32 +516,17 @@ object SubstringDedup {
     * reversed token sequence and `pos` reports the REVERSED-stream offset,
     * so first-occurrence keep order matches the reference's reversed scan.
     */
-  def tokenWindows(docs: DataFrame, minLenTok: Int, reversed: Boolean = false): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  def tokenWindows(docs: DataFrame, minLenTok: Int, reversed: Boolean = false): DataFrame =
+    // native Generator over the whitespace token array (split ' ' +
+    // drop-empties matches `tokensOf`); per-token 61-bit digits and the
+    // rolling window hashes are computed inside one kernel call per doc
     docs
-      .select(col("k").cast("long"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.flatMap { case (k, text) =>
-          if (text == null) Iterator.empty
-          else {
-          val ws = tokensOf(text)
-          val digits = new Array[Long](ws.length)
-          var i = 0
-          while (i < ws.length) {
-            val b = ws(if (reversed) ws.length - 1 - i else i)
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            digits(i) = PolyHash.hash(b, 0, b.length, PolyHash.B1)
-            i += 1
-          }
-          val (h1, h2) = PolyHash.windowHashesLongs2(digits, minLenTok)
-          Iterator.range(0, h1.length).map(i => (h1(i), h2(i), k, i.toLong))
-          }
-        }
-      }
-      .toDF("h1", "h2", "k", "pos")
-  }
+      .select(col("k").cast("long").as("k"),
+        filter(split(col("text"), " "), t => t =!= "").as("ts"))
+      .select(col("k"),
+        graft.functions.GraftFunctions.windowGen(col("ts"), minLenTok, reversed)
+          .as(Seq("h1", "h2", "pos")))
+      .select("h1", "h2", "k", "pos")
 
   /** Token-level candidate verification (the verifyBytes analogue): the
     * actual minLenTok-token slice at each candidate and its keeper are
@@ -610,26 +588,15 @@ object SubstringDedup {
     * vocabulary lives with the CALLER -- the engine never sees token
     * text, just rolls the same 61-bit window hash over the provided ids.
     */
-  def idWindows(docs: DataFrame, minLenTok: Int, reversed: Boolean = false): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  def idWindows(docs: DataFrame, minLenTok: Int, reversed: Boolean = false): DataFrame =
+    // native Generator over the pre-tokenized id array (ids are the
+    // window digits directly; `reversed` mirrors the stream in-kernel)
     docs
-      .select(col("k").cast("long"), col("tokens").cast("array<long>"))
-      .as[(Long, Array[Long])]
-      .mapPartitions { it =>
-        it.flatMap { case (k, ids) =>
-          if (ids == null) Iterator.empty
-          else {
-            val digits =
-              if (!reversed) ids
-              else Array.tabulate(ids.length)(i => ids(ids.length - 1 - i))
-            val (h1, h2) = PolyHash.windowHashesLongs2(digits, minLenTok)
-            Iterator.range(0, h1.length).map(i => (h1(i), h2(i), k, i.toLong))
-          }
-        }
-      }
-      .toDF("h1", "h2", "k", "pos")
-  }
+      .select(col("k").cast("long").as("k"), col("tokens").cast("array<long>").as("ids"))
+      .select(col("k"),
+        graft.functions.GraftFunctions.windowGen(col("ids"), minLenTok, reversed)
+          .as(Seq("h1", "h2", "pos")))
+      .select("h1", "h2", "k", "pos")
 
   /** Id-level candidate verification: the minLenTok-id slice at each
     * candidate and its keeper are compared by sha2 digest of the
@@ -699,15 +666,50 @@ object SubstringDedup {
     * within the hash-dup set is exhaustive.
     */
   def dupPtrs(docs: DataFrame, cfg: Config): DataFrame = {
-    val win = windows(docs, cfg.minLen)
-    val hashDups = win
-      .withColumn("c", count(lit(1)).over(Window.partitionBy("h1", "h2")))
-      .where(col("c") > 1)
+    // multi-member hash runs via the same one-pass adjacent scan the
+    // sort-scan dedup uses (one hash exchange + in-partition sort),
+    // instead of the previous count()-over-(h1,h2)-window + row_number()
+    // pass, which ran the full window frame through WindowExec's
+    // per-group buffering twice (round-6 guide §2.4: same co-location,
+    // strictly less machinery). Emits every member of a >= 2-member run
+    // with its first-occurrence flag.
+    val hashDups = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      windows(docs, cfg.minLen)
+        .repartition(col("h1"), col("h2"))
+        .sortWithinPartitions("h1", "h2", "k", "pos")
+        .select("h1", "h2", "k", "pos")
+        .as[(Long, Long, Long, Long)]
+        .mapPartitions { it =>
+          // lookahead run scan: a row survives iff it CONTINUES its
+          // predecessor (dropped=true) or its SUCCESSOR continues it
+          // (the run's first member, dropped=false); singleton runs --
+          // the vast majority -- are skipped right here
+          val buf = it.buffered
+          new Iterator[(Long, Long, Boolean)] {
+            private var ph1 = 0L; private var ph2 = 0L; private var first = true
+            private var nxt: (Long, Long, Boolean) = advance()
+            @annotation.tailrec private def advance(): (Long, Long, Boolean) = {
+              if (!buf.hasNext) null
+              else {
+                val (h1, h2, k, pos) = buf.next()
+                val cont = !first && h1 == ph1 && h2 == ph2
+                ph1 = h1; ph2 = h2; first = false
+                if (cont) (k, pos, true)
+                else if (buf.hasNext && buf.head._1 == h1 && buf.head._2 == h2)
+                  (k, pos, false)
+                else advance()
+              }
+            }
+            def hasNext: Boolean = nxt != null
+            def next(): (Long, Long, Boolean) = { val r = nxt; nxt = advance(); r }
+          }
+        }
+        .toDF("k", "pos", "dropped")
+    }
     if (!cfg.verifyBytes) {
-      val byWindow = Window.partitionBy("h1", "h2").orderBy("k", "pos")
       hashDups
-        .withColumn("rn", row_number().over(byWindow))
-        .select(col("k"), col("pos"), (col("rn") > 1).as("dropped"))
     } else {
       // group on the sha2-256 digest of the actual window (byte-equality
       // standard); digests are 32 B regardless of minLen, so the window

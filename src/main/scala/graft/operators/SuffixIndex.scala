@@ -525,9 +525,30 @@ object SuffixIndex {
     * boundaries flagged through a filtered-out short row are real
     * boundaries.
     */
-  def removeRanges(index: DataFrame, minLen: Int): DataFrame = {
+  def removeRanges(index: DataFrame, minLen: Int, indexDepth: Int = -1): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
+    // minLen == maxDepth shortcut (caller declares the build depth): a
+    // segment is then exactly a rank-tie run -- stored lcp is maxDepth on
+    // ties and strictly below it otherwise -- and tie runs are sorted by
+    // (k, pos) within the index order (rank, k, pos), so the FIRST member
+    // of every class is its min-(k,pos) keeper and every CONTINUING
+    // member is removable. "Removable" collapses to the per-row predicate
+    // `slen >= minLen AND lcp >= minLen`: no partition-layout probe, no
+    // segment seam, no keeper aggregation or join -- one filter feeding
+    // the range coalescer. (Short suffixes can never sit inside an
+    // eligible tie run: a depth-maxDepth tie aligns the beyond-end
+    // sentinels, so a class is either all >= maxDepth long with equal
+    // bytes or all identical short suffixes -- whole classes drop at the
+    // slen filter, never individual interior rows. A row whose stored
+    // lcp >= minLen also proves its ORIGINAL predecessor shares minLen
+    // bytes and is therefore eligible and in the same class.)
+    if (indexDepth == minLen) {
+      val removable = index
+        .where(col("slen") >= minLen && col("lcp").isNotNull && col("lcp") >= minLen)
+        .select("k", "pos")
+      return SubstringDedup.coalesceRanges(removable, minLen)
+    }
     // FAST PATH: a freshly built (or checkpointed) index is already laid
     // out in gidx order -- the build's final sort IS that order, and
     // mapPartitions preserves it -- so the segment scan can run on the

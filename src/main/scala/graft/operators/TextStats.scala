@@ -125,4 +125,19 @@ object TextStats {
         explode(graft.functions.GraftFunctions
           .winnow(encode(col(textCol), "UTF-8"), n, w)).as("fp"))
   }
+
+  /** Left-anti prune of (k, fp) rows whose fingerprint bucket exceeds
+    * `maxBucketSize` -- the guard a fingerprint-collision self-join needs
+    * before it can run at corpus scale: a fingerprint selected out of a
+    * viral boilerplate run (license header, templated prose) lands in
+    * 1e5+ docs, and joining that bucket with itself fans out
+    * quadratically. A fp shared by thousands of documents is boilerplate,
+    * not a plagiarism signal -- the same rationale and shape as
+    * MinHashLSH.candidatePairs' maxBucketSize prune.
+    */
+  def pruneHotFingerprints(fp: DataFrame, maxBucketSize: Long): DataFrame = {
+    val hot = fp.groupBy("fp").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucketSize).select("fp")
+    fp.join(hot, Seq("fp"), "left_anti")
+  }
 }

@@ -221,6 +221,14 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
     // aligned fresh build -> fast path
     assert(operators.SuffixIndex.removeRanges(index, 32)
       .as[(Long, Long, Long)].collect().toSet == expected)
+    // minLen == maxDepth declared-depth shortcut (per-row lcp predicate,
+    // no layout probe / keeper join) -> identical ranges; also on a
+    // reshuffled layout, since the predicate is layout-independent
+    assert(operators.SuffixIndex.removeRanges(index, 32, indexDepth = 32)
+      .as[(Long, Long, Long)].collect().toSet == expected)
+    assert(operators.SuffixIndex.removeRanges(
+        index.repartition(5, col("k")).localCheckpoint(true), 32, indexDepth = 32)
+      .as[(Long, Long, Long)].collect().toSet == expected)
     // hash-reshuffled index -> layout check fails -> sorting fallback
     val shuffled = index.repartition(5, col("k")).localCheckpoint(true)
     assert(operators.SuffixIndex.removeRanges(shuffled, 32)
