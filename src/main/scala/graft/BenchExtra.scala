@@ -63,8 +63,43 @@ object BenchExtra {
       case "pipeline" =>
         val n = rest.headOption.map(_.toInt).getOrElse(150000)
         (1 to runs).foreach { i =>
+          val l = Bench.awaitQuiet(threshold = 4.0, maxWaitSec = 240)
           val st = Bench.pipelinePass(spark, "/dev/shm/graft-fixtures/images_bench", n)
-          println(f"[extra] pipeline[$i] ${st.nImages} images in ${st.sec}%.2f s = ${st.imagesPerSec}%.0f img/s = ${st.mbPerSec}%.2f MB/s (load1=${Bench.load1()}%.1f)")
+          println(f"[extra] pipeline[$i] ${st.nImages} images in ${st.sec}%.2f s = ${st.imagesPerSec}%.0f img/s = ${st.mbPerSec}%.2f MB/s (load1@start=$l%.1f)")
+        }
+      case "jsonlab" =>
+        // pinParsed A/B over the bench-shaped workflow, load-gated
+        val n = rest.headOption.map(_.toInt).getOrElse(50000)
+        val inDir = s"/dev/shm/graft-fixtures/jsonl-in-$n"
+        val bytes = graft.sources.JsonlGen.writeTree(spark, inDir, n)
+        (1 to runs).foreach { i =>
+          for (pin <- Seq(true, false)) {
+            val l = Bench.awaitQuiet(threshold = 4.0, maxWaitSec = 240)
+            val t0 = System.nanoTime()
+            val res = JsonlDedupJob.run(spark, inDir,
+              s"/dev/shm/graft-fixtures/jsonl-ab-out-$n", minLen = 500,
+              mode = "annotate", compression = "gzip", pinParsed = pin)
+            val files = res.written.count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            println(f"[extra] jsonlab[$i] pin=$pin ${bytes / 1e6}%.1f MB, $files files in $sec%.2f s = ${bytes / 1e6 / sec}%.2f MB/s (load1@start=$l%.1f)")
+          }
+        }
+      case "substrab" =>
+        // verifyPrune A/B on the pipeline's caption corpus, load-gated
+        val n = rest.headOption.map(_.toInt).getOrElse(150000)
+        val images = graft.sources.ImagesGen.writeFixture(
+          spark, s"/dev/shm/graft-fixtures/images_bench-$n-p40", n, period = 40)
+        val caps = DedupPipeline.run(spark, images, DedupPipeline.Config())
+          .keyed.select(col("k"), col("caption").as("text"))
+          .localCheckpoint(true)
+        (1 to runs).foreach { i =>
+          for (prune <- Seq(false, true)) {
+            val l = Bench.awaitQuiet(threshold = 4.0, maxWaitSec = 240)
+            val t0 = System.nanoTime()
+            val rows = operators.SubstringDedup.removeRanges(caps,
+              operators.SubstringDedup.Config(32, verifyPrune = prune)).count()
+            println(f"[extra] substrab[$i] prune=$prune ${(System.nanoTime() - t0) / 1e9}%7.2f s rows=$rows (load1@start=$l%.1f)")
+          }
         }
       case "queryjobs" =>
         // job-level trace of one named query's execution (guide §1: find
@@ -150,8 +185,9 @@ object BenchExtra {
       case "jsonl" =>
         val n = rest.headOption.map(_.toInt).getOrElse(50000)
         (1 to runs).foreach { i =>
+          val l = Bench.awaitQuiet(threshold = 4.0, maxWaitSec = 240)
           val (b, sec, files) = Bench.jsonlPass(spark, "/dev/shm/graft-fixtures", n)
-          println(f"[extra] jsonl[$i] ${b / 1e6}%.1f MB, $files files in $sec%.2f s = ${b / 1e6 / sec}%.2f MB/s (load1=${Bench.load1()}%.1f)")
+          println(f"[extra] jsonl[$i] ${b / 1e6}%.1f MB, $files files in $sec%.2f s = ${b / 1e6 / sec}%.2f MB/s (load1@start=$l%.1f)")
         }
       case other => sys.error(s"unknown subcommand $other")
     }

@@ -365,7 +365,7 @@ object JsonlDedupJob {
           compression: String = "gzip",
           stageDir: Option[String] = None,
           unit: String = "bytes", reversed: Boolean = false,
-          pinParsed: Boolean = true): Result = {
+          pinParsed: Boolean = false): Result = {
     require(mode == "annotate" || mode == "remove", s"unknown mode $mode")
     require(unit == "bytes" || unit == "tokens" || unit == "ids",
       s"unknown unit $unit")
@@ -376,21 +376,20 @@ object JsonlDedupJob {
     val keyed0 = readTree(spark, inDir,
       requiredField = if (unit == "ids") "tokens" else "text")
       .withColumn("path", regexp_replace(col("path"), "\\.(gz|zst)$", ""))
-    // pin the PARSED corpus once (round 6, guide §5 caching): the
-    // workflow consumes it three times -- window generation, candidate
-    // verification, and the annotate/writeback join -- and every consumer
-    // otherwise re-decompresses and re-JSON-parses the whole tree (gzip
-    // inflate + from_json are the scan's dominant CPU). One eager
-    // materialization (memory, spilling to local disk) replaces two full
-    // decompress+parse passes; this is the same "materialize the parsed
-    // intermediate" step the reference workflow performs when it writes
-    // its binary doc/offset sidecars before indexing
-    // (indexing_v6_sharded.py doc_bytes/offsets files; measured A/B in
-    // OPTIMIZATION_r06.md). At 100 TB the same pin is a disk-backed
-    // snapshot across the
-    // cluster's local volumes -- linear in corpus size, like the
-    // reference's sidecars; callers that cannot afford it pass
-    // pinParsed=false and pay the extra scans instead.
+    // `pinParsed` would materialize the parsed corpus once for the
+    // workflow's three consumers (window generation, candidate
+    // verification, annotate/writeback join) instead of three
+    // decompress+parse scans -- the reference's doc/offset-sidecar
+    // pattern. MEASURED NEGATIVE at the bench shape (round 6, 330 MB
+    // gzip tree, local[32], load-gated alternating A/B, min-of-3):
+    // pin=false 23.9 s vs pin=true 25.1 s best, and pinned runs degrade
+    // sharply across repeats in one JVM (90-101 s) as each ~400 MB
+    // pinned corpus accumulates in the block manager -- the semi-join
+    // prune (verifyPrune=true below) already removes most of the second
+    // scan's downstream cost, and gzip inflate + from_json are cheaper
+    // than a full corpus round-trip through block storage. Default off;
+    // the knob remains for parse-dominated trees (heavy zstd, very wide
+    // JSON) where one materialization can beat three parses.
     val keyed = if (pinParsed) keyed0.localCheckpoint(true) else keyed0
 
     // stage name carries the unit/orientation: the (k,s,e) schema is

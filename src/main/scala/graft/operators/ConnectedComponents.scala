@@ -36,7 +36,10 @@ object ConnectedComponents {
       .withColumn("m", least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
       .where(col("v") > col("u") && col("v") =!= col("m"))
       .select(col("v").as("hi"), col("m").as("lo"))
-      .distinct()
+    // no .distinct() here (round 6): smallStar's window-min is
+    // duplicate-insensitive and its final distinct cleans the round's
+    // output, so the mid-round dedup exchange bought nothing -- the
+    // duplicate inflation is bounded by |sym| = 2|E| within one round
   }
 
   /** small-star: per node u over its SMALLER neighbors (edges are oriented

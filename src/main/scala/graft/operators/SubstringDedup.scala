@@ -219,18 +219,16 @@ object SubstringDedup {
     * i.e. a second full window-generation pass. Hash keys are uniform by
     * construction, so hash partitioning is also perfectly balanced.
     */
-  private def runScan(win: DataFrame): DataFrame = {
-    val sorted = win.repartition(col("h1"), col("h2"))
-      .sortWithinPartitions("h1", "h2", "k", "pos")
-    if (sys.env.get("GRAFT_RUNSCAN").contains("window")) {
-      val w = Window.partitionBy("h1", "h2").orderBy("k", "pos")
-      sorted
-        .withColumn("keep_k", first(col("k")).over(w))
-        .withColumn("keep_pos", first(col("pos")).over(w))
-        .where(col("k") =!= col("keep_k") || col("pos") =!= col("keep_pos"))
-        .select("k", "pos", "keep_k", "keep_pos")
-    } else adjacentRunScan(sorted)
-  }
+  private def runScan(win: DataFrame): DataFrame =
+    // MEASURED (round 6, sf0.1, min-of-2): a WindowExec variant
+    // (first_value over partitionBy(h1,h2), which reuses this exact sort
+    // and avoids the typed boundary) was SLOWER -- a1 1.68 -> 2.63 s,
+    // five-query family total 5.35 -> 6.95 s -- because per-group window
+    // machinery over ~1e8 mostly-singleton groups costs more than the
+    // tuple deserialization it removes. The typed adjacent scan stays.
+    adjacentRunScan(
+      win.repartition(col("h1"), col("h2"))
+        .sortWithinPartitions("h1", "h2", "k", "pos"))
 
   /** The run scan itself: input must be partitioned so equal (h1,h2) rows
     * co-locate and be sorted by (h1,h2,k,pos) within partitions.
