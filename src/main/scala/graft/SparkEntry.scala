@@ -341,11 +341,8 @@ object SparkEntry {
       // MinHashLSH's maxBucketSize). The driver fixture has no bucket
       // anywhere near the cap, so the result -- and the oracle -- is
       // unchanged (oracle compatibility verified by the driver's hash).
-      // the fp table feeds the bucket-count agg and both self-join sides:
-      // pin it once instead of re-running the winnow scan per consumer
       val fp = TextStats.pruneHotFingerprints(
-        TextStats.winnowFingerprints(asciiGuard(docsWithDups(s, dir)), 24, 8)
-          .localCheckpoint(true),
+        TextStats.winnowFingerprints(asciiGuard(docsWithDups(s, dir)), 24, 8),
         10000L)
       fp.as("x").join(fp.as("y"),
           col("x.fp") === col("y.fp") && col("x.k") < col("y.k"))

@@ -433,6 +433,12 @@ object SubstringDedup {
   def windowOrderViolations(docs: DataFrame, minLen: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // stays on the TYPED window path (measured round 6): a
+    // GraftWindowGen variant needed the doc bytes in GenerateExec's
+    // required child output, and the exec's per-row unsafe projection
+    // then copies the FULL doc bytes into every generated row before the
+    // slice projection can drop them -- a9 1.0 -> 1.6 s. The typed scan
+    // slices the 32-byte window directly.
     docs
       .select(col("k").cast("long"), encode(col("text"), "UTF-8").as("bytes"))
       .as[(Long, Array[Byte])]
