@@ -84,11 +84,12 @@ object NgramJaccard {
   /** Prefix-filtered exact Jaccard join over any (k, sh) shingle table.
     * Output: (a, b, jacc).
     */
-  def pairsFromShingles(sh0: DataFrame, threshold: Double): DataFrame = {
-    // pin the shingle table once: it feeds the document-frequency agg,
-    // the prefix join and the verification sets -- three consumers that
-    // would each re-run the shingling scan (round 6, guide §5)
-    val sh = sh0.localCheckpoint(true)
+  def pairsFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
+    // NOT pinned (measured round 6): an eager localCheckpoint of the
+    // shingle table cost more than the three map-side shingling passes
+    // it saved (driver query 1.69 -> 2.03 s), and at corpus scale the
+    // shingle table is corpus-sized -- rematerializing a cheap narrow
+    // map beats block-storing it, locally and at 100 TB
     val sizes = sh.groupBy("k").agg(count(lit(1)).as("sz"))
     val prefix = prefixTable(sh, threshold)
 
