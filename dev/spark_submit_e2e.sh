@@ -76,7 +76,14 @@ echo "[e2e] resume check: re-run local[8] against the existing stage dir"
 run_submit "local[8]" graft.JsonlDedupCli "$WORK/in" "$WORK/out8b" \
   --minlen 500 --mode annotate --stage-dir "$WORK/stage8" \
   > "$WORK/run8b.log" 2>&1
-grep -q "wrote" "$WORK/run8b.log" && echo "[e2e] resume PASS (stage snapshot reused)"
+# explicit if/else: under `set -euo pipefail` a bare `grep && echo` list
+# would abort the script silently when the marker is missing
+if grep -q "wrote" "$WORK/run8b.log"; then
+  echo "[e2e] resume PASS (stage snapshot reused)"
+else
+  echo "[e2e] resume FAILED: no 'wrote' marker in $WORK/run8b.log" >&2
+  exit 1
+fi
 
 eff=$(python3 -c "import sys; print(f'{float(sys.argv[1])/(4*float(sys.argv[2])):.3f}')" "$t8" "$t32")
 echo "[e2e] local[8]: ${t8}s  local[32]: ${t32}s  naive 8->32 efficiency: $eff"

@@ -177,6 +177,12 @@ object SuffixIndex {
     * in the suffix's document.
     */
   def build(docs: DataFrame, cfg: Config): DataFrame = {
+    // CONTRACT: `docs` must be DETERMINISTIC across re-evaluation -- the
+    // direct-LCP mode scans it twice (initial ranks + the per-position
+    // prefix table) and joins the results; a sampled/generated/mutable
+    // source can silently drop positions from that inner join or
+    // mismatch prefixes against ranks. Checkpoint such sources first.
+    // (All engine callers pass parquet scans or pinned frames.)
     require(cfg.maxDepth >= 2 && (cfg.maxDepth & (cfg.maxDepth - 1)) == 0,
       s"maxDepth ${cfg.maxDepth} must be a power of two")
     val direct = cfg.lcpViaBytes.getOrElse(cfg.maxDepth <= 512)
@@ -252,6 +258,11 @@ object SuffixIndex {
       // sentinel). Pinned eagerly: the range exchange inside classRanks
       // samples its child with a separate job, which would otherwise
       // re-run this window's sort a second time per round.
+      // SKEW LIMIT: the per-doc window puts every position of one doc in
+      // one task per round -- fine at web-scale doc sizes, but a single
+      // multi-GB document becomes a straggler here; the (k, pos)
+      // equi-join formulation distributes at ~2x the shuffled bytes if a
+      // corpus ever needs it.
       val withR2 = cur.withColumn("r2",
         coalesce(lead(col("rank"), step).over(byDoc), lit(0L)))
         .localCheckpoint(true)

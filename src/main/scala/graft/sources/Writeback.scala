@@ -51,13 +51,23 @@ object Writeback {
     import spark.implicits._
     val (codec, level) = compression.split(":") match {
       case Array(c) => (c, None)
-      case Array(c, l) => (c, Some(l.toInt))
+      case Array(c, l) =>
+        // a malformed level ("zstd:abc") is a caller error, not a bare
+        // NumberFormatException from deep inside the sink
+        (c, Some(try l.toInt catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"non-numeric codec level: $compression")
+        }))
       case _ => throw new IllegalArgumentException(s"unknown compression $compression")
     }
     require(Set("gzip", "zstd", "none")(codec), s"unknown compression $compression")
     require(level.isEmpty || codec != "none", s"'none' takes no level: $compression")
     level.foreach(l => if (codec == "gzip")
       require(l >= 1 && l <= 9, s"gzip level must be 1..9: $compression"))
+    // zstd range-checked at parse time like gzip, not as an executor-side
+    // ZstdOutputStream failure mid-write
+    level.foreach(l => if (codec == "zstd")
+      require(l >= -7 && l <= 22, s"zstd level must be -7..22: $compression"))
     val payload = docs.columns.filter(c => c != pathCol && c != linenumCol)
     val keyed = docs.select(
         col(pathCol).as("_p"),

@@ -82,6 +82,12 @@ class WritebackSpec extends AnyFunSuite with SparkTestBase {
       Writeback.jsonlTree(annotated, "/tmp/never", compression = "none:1"))
     intercept[IllegalArgumentException](
       Writeback.jsonlTree(annotated, "/tmp/never", compression = "lz4"))
+    intercept[IllegalArgumentException]( // non-numeric level -> IAE, not NFE
+      Writeback.jsonlTree(annotated, "/tmp/never", compression = "zstd:abc"))
+    intercept[IllegalArgumentException]( // zstd range-checked at parse time
+      Writeback.jsonlTree(annotated, "/tmp/never", compression = "zstd:23"))
+    intercept[IllegalArgumentException](
+      Writeback.jsonlTree(annotated, "/tmp/never", compression = "zstd:-8"))
   }
 
   test("writeback preserves original line order within each file") {
