@@ -347,16 +347,41 @@ object SubstringDedup {
     * pos <= prev_pos + minLen (reference h:287-291).
     */
   def coalesceRanges(removable: DataFrame, minLen: Int): DataFrame = {
-    val byDoc = Window.partitionBy("k").orderBy("pos")
+    // one exchange on k + one in-partition sorted linear merge: all
+    // windows share length minLen, so ends are monotone in pos and a
+    // position extends the open range iff pos <= range_end (overlap OR
+    // touch). Replaces the previous lag-window + running-sum-window +
+    // groupBy chain -- same exchange, but one streaming pass instead of
+    // two WindowExec passes and a hash aggregate (round 6; identical
+    // ranges, oracle-checked).
+    val spark = removable.sparkSession
+    import spark.implicits._
     removable
-      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
-      .withColumn("brk",
-        when(col("prev").isNull || col("pos") > col("prev") + minLen, 1)
-          .otherwise(0))
-      .withColumn("island", sum(col("brk")).over(byDoc))
-      .groupBy("k", "island")
-      .agg(min(col("pos")).as("s"), (max(col("pos")) + minLen).as("e"))
-      .select(col("k"), col("s").cast("long"), col("e").cast("long"))
+      .select(col("k").cast("long"), col("pos").cast("long"))
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "pos")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        new Iterator[(Long, Long, Long)] {
+          private var have = false
+          private var ck = 0L; private var cs = 0L; private var ce = 0L
+          private var pending: (Long, Long, Long) = null
+          private def emitOpen(): (Long, Long, Long) = { have = false; (ck, cs, ce) }
+          private def advance(): (Long, Long, Long) = {
+            while (it.hasNext) {
+              val (k, pos) = it.next()
+              if (!have) { have = true; ck = k; cs = pos; ce = pos + minLen }
+              else if (k == ck && pos <= ce) { if (pos + minLen > ce) ce = pos + minLen }
+              else { val out = emitOpen(); have = true; ck = k; cs = pos; ce = pos + minLen; return out }
+            }
+            if (have) emitOpen() else null
+          }
+          pending = advance()
+          def hasNext: Boolean = pending != null
+          def next(): (Long, Long, Long) = { val r = pending; pending = advance(); r }
+        }
+      }
+      .toDF("k", "s", "e")
   }
 
   /** Full pipeline: docs(k, text) -> remove_ranges(k, s, e), unclipped
