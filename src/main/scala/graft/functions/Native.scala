@@ -109,20 +109,33 @@ object NativeKernels {
   * Null input (null text / null token array) generates nothing, matching
   * the typed paths' null handling.
   */
-case class GraftWindowGen(child: Expression, winLen: Int, reversed: Boolean)
+case class GraftWindowGen(child: Expression, winLen: Int, reversed: Boolean,
+                          withBytes: Boolean = false)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.Generator
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   require(winLen >= 1, s"winLen $winLen must be >= 1")
-  override def elementSchema: StructType = new StructType()
-    .add("h1", LongType, nullable = false)
-    .add("h2", LongType, nullable = false)
-    .add("pos", LongType, nullable = false)
+  // `withBytes` (byte mode only): additionally emit the window's raw
+  // bytes per row -- the inline-verification shape for small minLen,
+  // where the window slice is no wider than a digest and carrying it
+  // through the one exchange replaces the whole corpus-join
+  // verification stage (see SubstringDedup.removeRanges)
+  override def elementSchema: StructType = {
+    val base = new StructType()
+      .add("h1", LongType, nullable = false)
+      .add("h2", LongType, nullable = false)
+      .add("pos", LongType, nullable = false)
+    if (withBytes) base.add("w", BinaryType, nullable = false) else base
+  }
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case BinaryType if reversed =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           "reversed applies to token/id streams, not bytes")
+      case BinaryType | ArrayType(StringType, _) | ArrayType(LongType, _)
+          if withBytes && child.dataType != BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "withBytes applies to byte streams only")
       case BinaryType | ArrayType(StringType, _) | ArrayType(LongType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -165,7 +178,21 @@ case class GraftWindowGen(child: Expression, winLen: Int, reversed: Boolean)
         PolyHash.windowHashesLongs2(digits, winLen)
     }
     if (o1.isEmpty) Iterator.empty
-    else {
+    else if (withBytes) {
+      val b = v.asInstanceOf[Array[Byte]]
+      val row = new org.apache.spark.sql.catalyst.expressions.SpecificInternalRow(
+        Seq(LongType, LongType, LongType, BinaryType))
+      new Iterator[InternalRow] {
+        private var i = 0
+        def hasNext: Boolean = i < o1.length
+        def next(): InternalRow = {
+          row.setLong(0, o1(i)); row.setLong(1, o2(i)); row.setLong(2, i.toLong)
+          row.update(3, java.util.Arrays.copyOfRange(b, i, i + winLen))
+          i += 1
+          row
+        }
+      }
+    } else {
       // one reused mutable row: GenerateExec consumes each yielded row
       // (unsafe-projects it into the output) before requesting the next,
       // the same reuse contract Spark's own generators rely on
@@ -309,8 +336,9 @@ object GraftFunctions {
     * one (h1, h2, pos) row per window position of a binary / token-array /
     * id-array column).
     */
-  def windowGen(in: Column, winLen: Int, reversed: Boolean = false): Column =
-    column(GraftWindowGen(expr(in), winLen, reversed))
+  def windowGen(in: Column, winLen: Int, reversed: Boolean = false,
+                withBytes: Boolean = false): Column =
+    column(GraftWindowGen(expr(in), winLen, reversed, withBytes))
 
   // ---- SQL registration (FunctionRegistry descriptions) ----
 

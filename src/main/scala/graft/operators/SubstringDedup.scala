@@ -396,7 +396,18 @@ object SubstringDedup {
     */
   def removeRanges(docs: DataFrame, cfg: Config): DataFrame = {
     val removable =
-      if (cfg.verifyBytes) {
+      if (cfg.verifyBytes && cfg.minLen <= 32) {
+        // INLINE verification (round 6): at minLen <= 32 the raw window
+        // is no wider than the sha2 digest the join path would ship, so
+        // carry the window bytes through the ONE hash exchange and
+        // byte-compare each run member against its run's first row
+        // during the scan itself -- the same candidate-vs-keeper
+        // equality the digest joins computed, with zero corpus
+        // re-scans, zero broadcast builds and zero joins. Above 32
+        // bytes the join path below stays (inlining a 500-byte window
+        // would multiply the exchange ~16x; the digests keep it flat).
+        inlineVerifiedRemovable(docs, cfg.minLen)
+      } else if (cfg.verifyBytes) {
         // with verifyPrune, pin the (small: duplicate positions only)
         // candidate set: it feeds the doc-key prune AND the digest joins
         // in verifyCandidates, and recomputing it would re-run the full
@@ -407,6 +418,38 @@ object SubstringDedup {
         verifyCandidates(docs, cand, cfg.minLen, cfg.verifyPrune)
       } else removablePositionsSortScan(docs, cfg.minLen)
     coalesceRanges(removable, cfg.minLen)
+  }
+
+  /** Byte-verified removable positions with the verification fused into
+    * the run scan: windows carry their raw bytes through the hash
+    * exchange (GraftWindowGen withBytes), and a continuing run member is
+    * removable iff its bytes equal the run's FIRST member's bytes --
+    * identical keeper-equality contract to `verifyCandidates`, no joins.
+    * Intended for minLen <= 32 (window no wider than a digest).
+    */
+  private def inlineVerifiedRemovable(docs: DataFrame, minLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("k").cast("long").as("k"), encode(col("text"), "UTF-8").as("b"))
+      .select(col("k"),
+        graft.functions.GraftFunctions.windowGen(col("b"), minLen, withBytes = true)
+          .as(Seq("h1", "h2", "pos", "w")))
+      .select("h1", "h2", "k", "pos", "w")
+      .repartition(col("h1"), col("h2"))
+      .sortWithinPartitions("h1", "h2", "k", "pos")
+      .as[(Long, Long, Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        var ph1 = 0L; var ph2 = 0L; var kw: Array[Byte] = null; var first = true
+        it.flatMap { case (h1, h2, k, pos, w) =>
+          val isNewRun = first || h1 != ph1 || h2 != ph2
+          ph1 = h1; ph2 = h2; first = false
+          if (isNewRun) { kw = w; None }
+          else if (java.util.Arrays.equals(w, kw)) Some((k, pos))
+          else None // 122-bit collision: bytes differ from the keeper's
+        }
+      }
+      .toDF("k", "pos")
   }
 
   /** Hash-aggregate plan of removeRanges (differential sibling). */
